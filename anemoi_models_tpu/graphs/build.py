@@ -1,0 +1,220 @@
+"""Host-side graph builders: grids, icosahedral meshes, and edge builders.
+
+The reference delegates graph construction to the external ``anemoi-graphs``
+package; this module makes the TPU framework standalone. All construction is
+``numpy``/``scipy`` at model-build time — graphs are static.
+
+Conventions (matching what the reference's models expect of anemoi-graphs):
+- node coords are (lat, lon) in **radians**, shape (N, 2)
+- edge attribute ``edge_length``: normalized great-circle distance, shape (E, 1)
+- edge attribute ``edge_dirs``: local tangent-plane displacement from source to
+  destination (dlat, dlon*cos(lat_mid)), shape (E, 2)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from anemoi_models_tpu.graphs.container import EdgeSet, HeteroGraph, NodeSet
+
+__all__ = [
+    "latlon_grid_nodes",
+    "icosahedral_nodes",
+    "knn_edges",
+    "cutoff_edges",
+    "multiscale_icosahedral_graph",
+    "edge_attributes",
+    "build_enc_proc_dec_graph",
+]
+
+
+def _latlon_to_xyz(latlon: np.ndarray) -> np.ndarray:
+    lat, lon = latlon[:, 0], latlon[:, 1]
+    return np.stack(
+        [np.cos(lat) * np.cos(lon), np.cos(lat) * np.sin(lon), np.sin(lat)], axis=-1
+    )
+
+
+def _xyz_to_latlon(xyz: np.ndarray) -> np.ndarray:
+    xyz = xyz / np.linalg.norm(xyz, axis=-1, keepdims=True)
+    lat = np.arcsin(np.clip(xyz[:, 2], -1.0, 1.0))
+    lon = np.arctan2(xyz[:, 1], xyz[:, 0])
+    return np.stack([lat, lon], axis=-1)
+
+
+def latlon_grid_nodes(num_lat: int, num_lon: int | None = None) -> NodeSet:
+    """Regular equal-angle lat/lon grid (cell centers, poles excluded)."""
+    if num_lon is None:
+        num_lon = 2 * num_lat
+    lats = np.linspace(np.pi / 2, -np.pi / 2, num_lat + 2)[1:-1]
+    lons = np.linspace(-np.pi, np.pi, num_lon, endpoint=False)
+    grid_lat, grid_lon = np.meshgrid(lats, lons, indexing="ij")
+    coords = np.stack([grid_lat.ravel(), grid_lon.ravel()], axis=-1).astype(np.float64)
+    # cos(lat) area weights, normalized to mean 1
+    weights = np.cos(grid_lat.ravel())
+    weights = weights / weights.mean()
+    return NodeSet(coords=coords, attrs={"area_weight": weights[:, None].astype(np.float32)})
+
+
+def _icosahedron() -> tuple[np.ndarray, np.ndarray]:
+    """Vertices (12, 3) and faces (20, 3) of a unit icosahedron."""
+    phi = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array(
+        [
+            [-1, phi, 0], [1, phi, 0], [-1, -phi, 0], [1, -phi, 0],
+            [0, -1, phi], [0, 1, phi], [0, -1, -phi], [0, 1, -phi],
+            [phi, 0, -1], [phi, 0, 1], [-phi, 0, -1], [-phi, 0, 1],
+        ],
+        dtype=np.float64,
+    )
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        dtype=np.int64,
+    )
+    return verts, faces
+
+
+def _subdivide(verts: np.ndarray, faces: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One loop-subdivision step on a triangulated sphere mesh."""
+    edge_mid: dict[tuple[int, int], int] = {}
+    new_verts = [verts]
+    next_id = len(verts)
+
+    def midpoint(a: int, b: int) -> int:
+        nonlocal next_id
+        key = (min(a, b), max(a, b))
+        if key not in edge_mid:
+            m = verts[a] + verts[b]
+            m /= np.linalg.norm(m)
+            new_verts.append(m[None, :])
+            edge_mid[key] = next_id
+            next_id += 1
+        return edge_mid[key]
+
+    new_faces = np.empty((len(faces) * 4, 3), dtype=np.int64)
+    for i, (a, b, c) in enumerate(faces):
+        ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+        new_faces[4 * i:4 * i + 4] = [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+    return np.concatenate(new_verts, axis=0), new_faces
+
+
+def icosahedral_nodes(refinements: int) -> tuple[NodeSet, list[np.ndarray]]:
+    """Icosahedral sphere mesh nodes after ``refinements`` subdivisions.
+
+    Returns the node set plus per-level face arrays (level 0 = base
+    icosahedron) used to derive multi-scale edges. Subdivision preserves node
+    ids across levels: coarse-level nodes are a prefix of the fine node set.
+    """
+    verts, faces = _icosahedron()
+    face_levels = [faces]
+    for _ in range(refinements):
+        verts, faces = _subdivide(verts, faces)
+        face_levels.append(faces)
+    coords = _xyz_to_latlon(verts)
+    return NodeSet(coords=coords), face_levels
+
+
+def _faces_to_bidirectional_edges(faces: np.ndarray) -> np.ndarray:
+    """Unique bidirectional edge_index (2, E) from a triangle list."""
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0)
+    e = np.sort(e, axis=1)
+    e = np.unique(e, axis=0)
+    return np.concatenate([e.T, e.T[::-1]], axis=1).astype(np.int32)
+
+
+def multiscale_edges(face_levels: list[np.ndarray]) -> np.ndarray:
+    """AIFS-style multi-scale mesh edges: union of edges from every level."""
+    all_edges = np.concatenate(
+        [_faces_to_bidirectional_edges(f) for f in face_levels], axis=1
+    )
+    return np.unique(all_edges, axis=1)
+
+
+def knn_edges(src: NodeSet, dst: NodeSet, k: int) -> np.ndarray:
+    """Each destination node connects to its k nearest source nodes."""
+    tree = cKDTree(_latlon_to_xyz(src.coords))
+    _, nbrs = tree.query(_latlon_to_xyz(dst.coords), k=k)
+    nbrs = np.atleast_2d(nbrs)
+    if k == 1:
+        nbrs = nbrs.reshape(-1, 1)
+    dst_ids = np.repeat(np.arange(dst.num_nodes, dtype=np.int64), k)
+    return np.stack([nbrs.ravel(), dst_ids], axis=0).astype(np.int32)
+
+
+def cutoff_edges(src: NodeSet, dst: NodeSet, radius: float) -> np.ndarray:
+    """Each destination node connects to all source nodes within chordal
+    ``radius`` (on the unit sphere; radius 2 = antipodes)."""
+    src_xyz = _latlon_to_xyz(src.coords)
+    dst_xyz = _latlon_to_xyz(dst.coords)
+    tree = cKDTree(src_xyz)
+    pairs = tree.query_ball_point(dst_xyz, r=radius)
+    src_ids = np.concatenate([np.asarray(p, dtype=np.int64) for p in pairs]) if len(pairs) else np.empty(0, np.int64)
+    dst_ids = np.repeat(np.arange(dst.num_nodes, dtype=np.int64), [len(p) for p in pairs])
+    return np.stack([src_ids, dst_ids], axis=0).astype(np.int32)
+
+
+def edge_attributes(src: NodeSet, dst: NodeSet, edge_index: np.ndarray) -> dict[str, np.ndarray]:
+    """Standard edge attributes: normalized great-circle length + direction."""
+    a = src.coords[edge_index[0]]
+    b = dst.coords[edge_index[1]]
+    # great-circle angle via chord length
+    chord = np.linalg.norm(_latlon_to_xyz(np.atleast_2d(b)) - _latlon_to_xyz(np.atleast_2d(a)), axis=-1)
+    angle = 2.0 * np.arcsin(np.clip(chord / 2.0, 0.0, 1.0))
+    length = (angle / max(angle.max(), 1e-12)).astype(np.float32)[:, None]
+    dlat = b[:, 0] - a[:, 0]
+    dlon = np.remainder(b[:, 1] - a[:, 1] + np.pi, 2 * np.pi) - np.pi
+    lat_mid = 0.5 * (a[:, 0] + b[:, 0])
+    dirs = np.stack([dlat, dlon * np.cos(lat_mid)], axis=-1).astype(np.float32)
+    norm = np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = np.where(norm > 1e-12, dirs / norm, 0.0)
+    return {"edge_length": length, "edge_dirs": dirs}
+
+
+def build_enc_proc_dec_graph(
+    *,
+    grid_lat: int = 32,
+    mesh_refinements: int = 3,
+    encoder_cutoff_factor: float = 1.6,
+    decoder_knn: int = 3,
+    data_name: str = "data",
+    hidden_name: str = "hidden",
+) -> HeteroGraph:
+    """Build the canonical AIFS-style graph: lat/lon data grid + icosahedral
+    hidden mesh, cutoff encoder edges, multi-scale processor edges, knn
+    decoder edges. Edge sets come out CSR-sorted by destination.
+    """
+    data_nodes = latlon_grid_nodes(grid_lat)
+    hidden_nodes, face_levels = icosahedral_nodes(mesh_refinements)
+
+    # encoder: every data point feeds the hidden nodes within a cutoff radius
+    # proportional to the hidden mesh's resolution
+    mesh_edge = _faces_to_bidirectional_edges(face_levels[-1])
+    mesh_xyz = _latlon_to_xyz(hidden_nodes.coords)
+    typical = np.linalg.norm(mesh_xyz[mesh_edge[0]] - mesh_xyz[mesh_edge[1]], axis=-1).mean()
+    enc_idx = cutoff_edges(data_nodes, hidden_nodes, radius=encoder_cutoff_factor * typical)
+
+    proc_idx = multiscale_edges(face_levels)
+    dec_idx = knn_edges(hidden_nodes, data_nodes, k=decoder_knn)
+
+    graph = HeteroGraph(
+        nodes={data_name: data_nodes, hidden_name: hidden_nodes},
+        edges={
+            (data_name, "to", hidden_name): EdgeSet(
+                edge_index=enc_idx, attrs=edge_attributes(data_nodes, hidden_nodes, enc_idx)
+            ),
+            (hidden_name, "to", hidden_name): EdgeSet(
+                edge_index=proc_idx, attrs=edge_attributes(hidden_nodes, hidden_nodes, proc_idx)
+            ),
+            (hidden_name, "to", data_name): EdgeSet(
+                edge_index=dec_idx, attrs=edge_attributes(hidden_nodes, data_nodes, dec_idx)
+            ),
+        },
+    )
+    return graph.sorted()

@@ -1,0 +1,16 @@
+"""Test configuration: force an 8-virtual-device CPU backend.
+
+Multi-device sharding paths are exercised on an emulated 8-device CPU mesh
+(the reference has no distributed tests at all — see SURVEY.md §4); real-TPU
+benchmarking happens in bench.py, not the unit suite.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,38 @@
+"""Remapper dispatcher: routes configs to Monomapper or Multimapper.
+
+Same dispatch rule as reference ``preprocessing/remapper.py:26-47``: all
+methods 1→1 → Monomapper; all methods 1→N → Multimapper; a mix is
+unsupported.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from anemoi_models_tpu.preprocessing import BasePreprocessor
+from anemoi_models_tpu.preprocessing.monomapper import Monomapper
+from anemoi_models_tpu.preprocessing.multimapper import Multimapper
+
+__all__ = ["Remapper", "Monomapper", "Multimapper"]
+
+
+class Remapper(BasePreprocessor):
+    """Factory selecting the mono- or multi-variable remapper."""
+
+    def __new__(cls, config: Any = None, data_indices: Optional[Any] = None, statistics=None):
+        _, _, method_config = cls._process_config(config or {})
+        monomappings = Monomapper.supported_methods
+        multimappings = Multimapper.supported_methods
+        if all(method in monomappings for method in method_config):
+            return Monomapper(config, data_indices, statistics)
+        if all(method in multimappings for method in method_config):
+            return Multimapper(config, data_indices, statistics)
+        if not (
+            any(method in monomappings for method in method_config)
+            or any(method in multimappings for method in method_config)
+        ):
+            raise ValueError("No valid remapping method found.")
+        raise NotImplementedError(
+            "Not implemented: method_config contains a mix of monomapper and multimapper methods: "
+            f"{list(method_config.keys())}"
+        )

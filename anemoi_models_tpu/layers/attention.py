@@ -1,0 +1,74 @@
+"""Multi-head self-attention with sliding window.
+
+Counterpart of reference ``layers/attention.py:34-112`` (fused QKV linear,
+flash-attn windowed kernel or SDPA fallback). Here the kernel switch is
+``impl``: "reference" (jnp, CPU-testable) / "pallas" (TPU flash attention) /
+"auto". Head-vs-sequence parallelism is not an explicit all-to-all as in the
+reference (``attention.py:87-107``) — tensors carry named-sharding
+constraints and GSPMD inserts the collectives (see ``parallel/``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from anemoi_models_tpu.ops.attention import dot_product_attention
+from anemoi_models_tpu.parallel.api import constrain
+
+__all__ = ["MultiHeadSelfAttention"]
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """MHSA over (batch, seq, channels) tensors."""
+
+    num_heads: int
+    embed_dim: int
+    bias: bool = False
+    is_causal: bool = False
+    window_size: Optional[int] = None
+    dropout_p: float = 0.0
+    attention_impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        assert self.embed_dim % self.num_heads == 0, (
+            f"Embedding dimension ({self.embed_dim}) must be divisible by number of heads "
+            f"({self.num_heads})"
+        )
+        head_dim = self.embed_dim // self.num_heads
+        batch, seq, _ = x.shape
+
+        qkv = nn.Dense(3 * self.embed_dim, use_bias=self.bias, dtype=self.dtype, name="lin_qkv")(x)
+        query, key, value = jnp.split(qkv, 3, axis=-1)
+        # (B, H, N, D)
+        query, key, value = (
+            t.reshape(batch, seq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+            for t in (query, key, value)
+        )
+        # Ulysses-style resharding, GSPMD edition: outside attention the
+        # sequence axis is model-sharded; during attention the head axis is.
+        # The sharding constraints below make XLA insert the two all-to-alls
+        # the reference hand-writes in shard_heads/shard_sequence
+        # (``distributed/transformer.py:21-130``).
+        query = constrain(query, ("data", "model", None, None))
+        key = constrain(key, ("data", "model", None, None))
+        value = constrain(value, ("data", "model", None, None))
+
+        out = dot_product_attention(
+            query,
+            key,
+            value,
+            window_size=self.window_size,
+            is_causal=self.is_causal,
+            impl=self.attention_impl,
+        )
+        out = constrain(out, ("data", "model", None, None))
+        out = out.transpose(0, 2, 1, 3).reshape(batch, seq, self.embed_dim)
+        out = constrain(out, ("data", "model", None))
+        if self.dropout_p > 0.0:
+            out = nn.Dropout(rate=self.dropout_p)(out, deterministic=deterministic)
+        return nn.Dense(self.embed_dim, use_bias=True, dtype=self.dtype, name="projection")(out)

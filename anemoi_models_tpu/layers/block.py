@@ -1,0 +1,332 @@
+"""Network blocks: transformer, graph-conv, and graph-transformer bodies.
+
+Counterparts of reference ``layers/block.py``. Communication differences:
+where the reference interleaves explicit collectives with compute
+(``sync_tensor``/``shard_tensor`` in GraphConv blocks ``block.py:203-219``,
+head/sequence all-to-alls in GraphTransformer blocks ``block.py:366-414``),
+these blocks annotate shardings (``parallel/api.py``) and let GSPMD insert
+collectives. Activation chunking (``ANEMOI_INFERENCE_NUM_CHUNKS``,
+``block.py:39,508-527``) maps onto static edge-chunk loops + ``jax.checkpoint``
+at the processor level.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from anemoi_models_tpu.layers.attention import MultiHeadSelfAttention
+from anemoi_models_tpu.layers.conv import GraphConv, graph_transformer_conv
+from anemoi_models_tpu.layers.mlp import MLP
+from anemoi_models_tpu.layers.utils import AutocastLayerNorm, get_activation
+from anemoi_models_tpu.ops.segment import segment_sum
+from anemoi_models_tpu.parallel.api import constrain
+
+__all__ = [
+    "TransformerProcessorBlock",
+    "GraphConvProcessorBlock",
+    "GraphConvMapperBlock",
+    "GraphTransformerProcessorBlock",
+    "GraphTransformerMapperBlock",
+]
+
+# Number of edge chunks used during inference (reference block.py:39)
+NUM_CHUNKS_INFERENCE = int(os.environ.get("ANEMOI_INFERENCE_NUM_CHUNKS", "1"))
+
+
+class TransformerProcessorBlock(nn.Module):
+    """Pre-LN transformer block: x + attn(LN(x)); x + mlp(LN(x)).
+
+    Reference ``layers/block.py:61-105``.
+    """
+
+    num_channels: int
+    hidden_dim: int
+    num_heads: int
+    activation: str = "GELU"
+    window_size: Optional[int] = None
+    dropout_p: float = 0.0
+    attention_impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        act = get_activation(self.activation)
+        x = x + MultiHeadSelfAttention(
+            num_heads=self.num_heads,
+            embed_dim=self.num_channels,
+            window_size=self.window_size,
+            bias=False,
+            is_causal=False,
+            dropout_p=self.dropout_p,
+            attention_impl=self.attention_impl,
+            dtype=self.dtype,
+            name="attention",
+        )(AutocastLayerNorm(name="layer_norm1")(x), deterministic=deterministic)
+        mlp_out = nn.Dense(self.hidden_dim, dtype=self.dtype)(
+            AutocastLayerNorm(name="layer_norm2")(x)
+        )
+        x = x + nn.Dense(self.num_channels, dtype=self.dtype)(act(mlp_out))
+        return constrain(x, ("data", "model", None))
+
+
+class _GraphConvBase(nn.Module):
+    """Shared pieces of the GraphConv processor/mapper blocks
+    (reference ``layers/block.py:108-167``)."""
+
+    in_channels: int
+    out_channels: int
+    mlp_extra_layers: int = 0
+    activation: str = "SiLU"
+    update_src_nodes: bool = True
+    num_chunks: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    def _conv(self) -> GraphConv:
+        return GraphConv(
+            out_channels=self.out_channels,
+            mlp_extra_layers=self.mlp_extra_layers,
+            activation=self.activation,
+            dtype=self.dtype,
+            name="conv",
+        )
+
+    def _node_mlp(self) -> MLP:
+        return MLP(
+            hidden_dim=self.out_channels,
+            out_features=self.out_channels,
+            n_extra_layers=self.mlp_extra_layers,
+            activation=self.activation,
+            dtype=self.dtype,
+            name="node_mlp",
+        )
+
+    def _run_conv(self, conv, x, edge_attr, edge_index, num_dst):
+        """Optionally edge-chunked conv (reference ``block.py:205-217``)."""
+        num_chunks = max(self.num_chunks, 1)
+        if num_chunks == 1:
+            return conv(x, edge_attr, edge_index, num_dst)
+        e = edge_attr.shape[-2]
+        bounds = [round(i * e / num_chunks) for i in range(num_chunks + 1)]
+        out = None
+        edges_out = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            out1, edges1 = conv(x, edge_attr[..., lo:hi, :], edge_index[:, lo:hi], num_dst)
+            edges_out.append(edges1)
+            out = out1 if out is None else out + out1
+        return out, jnp.concatenate(edges_out, axis=-2)
+
+
+class GraphConvProcessorBlock(_GraphConvBase):
+    """Homogeneous-graph message-passing block (reference ``block.py:170-223``)."""
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        edge_attr: jnp.ndarray,
+        edge_index: jnp.ndarray,
+        num_dst: Optional[int] = None,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        out, edges_new = self._run_conv(self._conv(), x, edge_attr, edge_index, num_dst or x.shape[-2])
+        out = constrain(out, ("data", "model", None))
+        nodes_new = self._node_mlp()(jnp.concatenate([x, out], axis=-1)) + x
+        return constrain(nodes_new, ("data", "model", None)), edges_new
+
+
+class GraphConvMapperBlock(_GraphConvBase):
+    """Bipartite-graph message-passing block (reference ``block.py:226-286``)."""
+
+    @nn.compact
+    def __call__(
+        self,
+        x: tuple[jnp.ndarray, jnp.ndarray],
+        edge_attr: jnp.ndarray,
+        edge_index: jnp.ndarray,
+        num_dst: Optional[int] = None,
+    ) -> tuple[tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+        x_src, x_dst = x
+        out, edges_new = self._run_conv(
+            self._conv(), (x_src, x_dst), edge_attr, edge_index, num_dst or x_dst.shape[-2]
+        )
+        out = constrain(out, ("data", "model", None))
+        node_mlp = self._node_mlp()
+        nodes_new_dst = node_mlp(jnp.concatenate([x_dst, out], axis=-1)) + x_dst
+        # src update only needed in the forward mapper (reference block.py:281-282);
+        # the reference reuses the same node_mlp weights for it.
+        if self.update_src_nodes:
+            nodes_new_src = node_mlp(jnp.concatenate([x_src, x_src], axis=-1)) + x_src
+        else:
+            nodes_new_src = x_src
+        return (nodes_new_src, nodes_new_dst), edges_new
+
+
+class _GraphTransformerBase(nn.Module):
+    """Shared pieces of the GraphTransformer blocks (reference
+    ``layers/block.py:289-426``)."""
+
+    in_channels: int
+    hidden_dim: int
+    out_channels: int
+    num_heads: int = 16
+    bias: bool = True
+    activation: str = "GELU"
+    num_chunks: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def out_channels_conv(self) -> int:
+        return self.out_channels // self.num_heads
+
+    def _heads(self, t: jnp.ndarray) -> jnp.ndarray:
+        """(B, N, H*D) -> (B, N, H, D), head axis constrained to the model
+        mesh axis during edge attention (GSPMD inserts the seq<->heads
+        all-to-all the reference hand-writes, ``block.py:366-398``)."""
+        b, n, _ = t.shape
+        t = t.reshape(b, n, self.num_heads, self.out_channels_conv)
+        return constrain(t, ("data", None, "model", None))
+
+    def _qkve(self, x_q: jnp.ndarray, x_kv: jnp.ndarray, edge_attr: jnp.ndarray):
+        width = self.num_heads * self.out_channels_conv
+        query = nn.Dense(width, dtype=self.dtype, name="lin_query")(x_q)
+        key = nn.Dense(width, dtype=self.dtype, name="lin_key")(x_kv)
+        value = nn.Dense(width, dtype=self.dtype, name="lin_value")(x_kv)
+        edges = nn.Dense(width, dtype=self.dtype, name="lin_edge")(edge_attr)
+        return query, key, value, edges
+
+    def _conv_chunked(self, query, key, value, edges, edge_index, num_dst, num_chunks):
+        """Edge-chunked per-edge attention. Chunking splits the (CSR-sorted)
+        edge set, so per-destination softmax normalization must span chunks:
+        compute unnormalized exp-weighted sums + normalizers per chunk and
+        combine (reference instead re-sorts chunks 1-hop, ``block.py:510-527``).
+        """
+        if num_chunks <= 1:
+            return graph_transformer_conv(query, key, value, edges, edge_index, num_dst)
+        # Flash-style two-pass over edge chunks: pass 1 accumulates the
+        # per-destination max logit, pass 2 the exp-weighted sums. Correct
+        # softmax across chunk boundaries at O(E/num_chunks) live memory.
+        scale = 1.0 / jnp.sqrt(jnp.asarray(self.out_channels_conv, jnp.float32))
+        e = edges.shape[-3]
+        bounds = [round(i * e / num_chunks) for i in range(num_chunks + 1)]
+
+        def chunk_logits(lo: int, hi: int):
+            ei = edge_index[:, lo:hi]
+            q_i = jnp.take(query, ei[1], axis=-3)
+            k_j = jnp.take(key, ei[0], axis=-3) + edges[..., lo:hi, :, :]
+            return ei, ((q_i * k_j).sum(-1).astype(jnp.float32) * scale)  # (B, e, H)
+
+        from anemoi_models_tpu.ops.segment import segment_max
+
+        seg_max = None
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            ei, logits = chunk_logits(lo, hi)
+            m1 = segment_max(logits, ei[1], num_dst)
+            seg_max = m1 if seg_max is None else jnp.maximum(seg_max, m1)
+        seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+
+        num = None
+        den = None
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            ei, logits = chunk_logits(lo, hi)
+            w = jnp.exp(logits - jnp.take(seg_max, ei[1], axis=-2))
+            v_j = jnp.take(value, ei[0], axis=-3) + edges[..., lo:hi, :, :]
+            msg = v_j * w[..., None].astype(v_j.dtype)
+            b_dims, (ec, h, d) = msg.shape[:-3], msg.shape[-3:]
+            n1 = segment_sum(msg.reshape(*b_dims, ec, h * d), ei[1], num_dst)
+            d1 = segment_sum(w, ei[1], num_dst)
+            num = n1 if num is None else num + n1
+            den = d1 if den is None else den + d1
+        b_dims = num.shape[:-2]
+        num = num.reshape(*b_dims, num_dst, self.num_heads, self.out_channels_conv)
+        return num / jnp.maximum(den, 1e-16)[..., None].astype(num.dtype)
+
+    def _dst_mlp(self, name: str) -> nn.Module:
+        act = get_activation(self.activation)
+
+        class _Mlp(nn.Module):
+            hidden_dim: int
+            out_channels: int
+            dtype: jnp.dtype
+
+            @nn.compact
+            def __call__(self, x):
+                x = AutocastLayerNorm()(x)
+                x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
+                x = act(x)
+                return nn.Dense(self.out_channels, dtype=self.dtype)(x)
+
+        return _Mlp(hidden_dim=self.hidden_dim, out_channels=self.out_channels, dtype=self.dtype, name=name)
+
+
+class GraphTransformerProcessorBlock(_GraphTransformerBase):
+    """Per-edge attention block on a homogeneous graph
+    (reference ``block.py:553-635``)."""
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        edge_attr: jnp.ndarray,
+        edge_index: jnp.ndarray,
+        num_dst: Optional[int] = None,
+        deterministic: bool = True,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        num_dst = num_dst or x.shape[-2]
+        x_skip = x
+        x = AutocastLayerNorm(name="layer_norm1")(x)
+        x_r = nn.Dense(self.num_heads * self.out_channels_conv, use_bias=self.bias, dtype=self.dtype, name="lin_self")(x)
+        query, key, value, edges = self._qkve(x, x, edge_attr)
+        query, key, value, edges = map(self._heads, (query, key, value, edges))
+
+        num_chunks = self.num_chunks if not deterministic else max(self.num_chunks, NUM_CHUNKS_INFERENCE)
+        out = self._conv_chunked(query, key, value, edges, edge_index, num_dst, num_chunks)
+        b, n = out.shape[0], out.shape[1]
+        out = constrain(out, ("data", None, "model", None)).reshape(b, n, self.out_channels)
+        out = constrain(out, ("data", "model", None))
+
+        out = nn.Dense(self.out_channels, dtype=self.dtype, name="projection")(out + x_r)
+        out = out + x_skip
+        nodes_new = self._dst_mlp("node_dst_mlp")(out) + out
+        return constrain(nodes_new, ("data", "model", None)), edge_attr
+
+
+class GraphTransformerMapperBlock(_GraphTransformerBase):
+    """Per-edge attention block on a bipartite graph
+    (reference ``block.py:429-550``)."""
+
+    update_src_nodes: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: tuple[jnp.ndarray, jnp.ndarray],
+        edge_attr: jnp.ndarray,
+        edge_index: jnp.ndarray,
+        num_dst: Optional[int] = None,
+        deterministic: bool = True,
+    ) -> tuple[tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+        x_skip = x
+        num_dst = num_dst or x[1].shape[-2]
+        x_src = AutocastLayerNorm(name="layer_norm1")(x[0])
+        x_dst = AutocastLayerNorm(name="layer_norm2")(x[1])
+        x_r = nn.Dense(self.num_heads * self.out_channels_conv, use_bias=self.bias, dtype=self.dtype, name="lin_self")(x_dst)
+        query, key, value, edges = self._qkve(x_dst, x_src, edge_attr)
+        query, key, value, edges = map(self._heads, (query, key, value, edges))
+
+        num_chunks = self.num_chunks if not deterministic else max(self.num_chunks, NUM_CHUNKS_INFERENCE)
+        out = self._conv_chunked(query, key, value, edges, edge_index, num_dst, num_chunks)
+        b = out.shape[0]
+        out = constrain(out, ("data", None, "model", None)).reshape(b, num_dst, self.out_channels)
+        out = constrain(out, ("data", "model", None))
+
+        out = nn.Dense(self.out_channels, dtype=self.dtype, name="projection")(out + x_r)
+        out = out + x_skip[1]
+        nodes_new_dst = self._dst_mlp("node_dst_mlp")(out) + out
+        if self.update_src_nodes:
+            nodes_new_src = self._dst_mlp("node_src_mlp")(x_skip[0]) + x_skip[0]
+        else:
+            nodes_new_src = x_skip[0]
+        return (nodes_new_src, nodes_new_dst), edge_attr

@@ -1,0 +1,183 @@
+"""Processors: stacks of chunked, rematerialized blocks on the hidden mesh.
+
+Counterparts of reference ``layers/processor.py``. Each processor splits
+``num_layers`` into ``num_chunks`` chunk modules and wraps each chunk in
+``jax.checkpoint`` (``nn.remat``) — the same rematerialization granularity as
+the reference's torch ``checkpoint`` calls (``processor.py:73-77``).
+``cpu_offload`` is accepted for config parity; host offload on TPU is handled
+by remat policies instead.
+
+Graph-based processors bake their (CSR-sorted) edge arrays in as constants at
+construction — the build-time analogue of the reference's edge-buffer
+registration + 1-hop re-sorting (``processor.py:210,239-246``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from anemoi_models_tpu.graphs.container import EdgeSet
+from anemoi_models_tpu.layers.chunk import (
+    GNNProcessorChunk,
+    GraphTransformerProcessorChunk,
+    TransformerProcessorChunk,
+)
+from anemoi_models_tpu.layers.graph import TrainableTensor
+from anemoi_models_tpu.parallel.api import constrain
+
+__all__ = ["TransformerProcessor", "GNNProcessor", "GraphTransformerProcessor", "register_edges"]
+
+
+def register_edges(
+    sub_graph: EdgeSet, edge_attributes: Optional[list[str]], trainable_size: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Extract (edge_attr, edge_index, edge_dim) from an edge set.
+
+    Counterpart of ``GraphEdgeMixin._register_edges`` (reference
+    ``layers/mapper.py:119-148``) minus the batch ``edge_inc`` trick — the
+    batch dimension is explicit here, so the same edge arrays serve every
+    batch element.
+    """
+    assert sub_graph is not None, "A valid sub_graph is required to register edges."
+    assert edge_attributes is not None, "Edge attributes must be provided"
+    edge_attr = sub_graph.attr_tensor(list(edge_attributes))
+    edge_index = np.asarray(sub_graph.edge_index, dtype=np.int32)
+    return edge_attr, edge_index, edge_attr.shape[1] + trainable_size
+
+
+def _chunk_sizes(num_layers: int, num_chunks: int) -> int:
+    assert num_layers % num_chunks == 0, (
+        f"Number of processor layers ({num_layers}) has to be divisible by the number of "
+        f"processor chunks ({num_chunks})."
+    )
+    return num_layers // num_chunks
+
+
+class TransformerProcessor(nn.Module):
+    """Sliding-window transformer over the hidden mesh
+    (reference ``processor.py:85-162``)."""
+
+    num_layers: int
+    window_size: Optional[int] = None
+    num_channels: int = 128
+    num_chunks: int = 2
+    activation: str = "GELU"
+    cpu_offload: bool = False
+    num_heads: int = 16
+    mlp_hidden_ratio: int = 4
+    dropout_p: float = 0.1
+    attention_impl: str = "auto"
+    deterministic: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, **kwargs) -> jnp.ndarray:
+        chunk_size = _chunk_sizes(self.num_layers, self.num_chunks)
+        Chunk = nn.remat(TransformerProcessorChunk)
+        for c in range(self.num_chunks):
+            x = Chunk(
+                num_channels=self.num_channels,
+                num_layers=chunk_size,
+                window_size=self.window_size,
+                num_heads=self.num_heads,
+                mlp_hidden_ratio=self.mlp_hidden_ratio,
+                activation=self.activation,
+                dropout_p=self.dropout_p,
+                attention_impl=self.attention_impl,
+                deterministic=self.deterministic,
+                dtype=self.dtype,
+                name=f"proc_{c}",
+            )(x)
+        return x
+
+
+class GNNProcessor(nn.Module):
+    """Edge-MLP message-passing processor (reference ``processor.py:165-250``)."""
+
+    num_layers: int
+    trainable_size: int = 8
+    num_channels: int = 128
+    num_chunks: int = 2
+    mlp_extra_layers: int = 0
+    activation: str = "SiLU"
+    cpu_offload: bool = False
+    sub_graph: Optional[EdgeSet] = None
+    sub_graph_edge_attributes: Optional[tuple[str, ...]] = ("edge_length", "edge_dirs")
+    src_grid_size: int = 0
+    dst_grid_size: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, **kwargs) -> jnp.ndarray:
+        chunk_size = _chunk_sizes(self.num_layers, self.num_chunks)
+        edge_attr_np, edge_index_np, edge_dim = register_edges(
+            self.sub_graph, self.sub_graph_edge_attributes, self.trainable_size
+        )
+        batch_size = x.shape[0]
+        edge_attr = TrainableTensor(
+            tensor_size=edge_attr_np.shape[0], trainable_size=self.trainable_size, name="trainable"
+        )(jnp.asarray(edge_attr_np, dtype=self.dtype), batch_size)
+        edge_index = jnp.asarray(edge_index_np)
+
+        Chunk = nn.remat(GNNProcessorChunk)
+        for c in range(self.num_chunks):
+            x, edge_attr = Chunk(
+                num_channels=self.num_channels,
+                num_layers=chunk_size,
+                mlp_extra_layers=self.mlp_extra_layers,
+                activation=self.activation,
+                edge_dim=edge_dim if c == 0 else None,  # first chunk embeds edges
+                dtype=self.dtype,
+                name=f"proc_{c}",
+            )(x, edge_attr, edge_index)
+        return constrain(x, ("data", "model", None))
+
+
+class GraphTransformerProcessor(nn.Module):
+    """Per-edge attention processor (reference ``processor.py:253-343``)."""
+
+    num_layers: int
+    trainable_size: int = 8
+    num_channels: int = 128
+    num_chunks: int = 2
+    num_heads: int = 16
+    mlp_hidden_ratio: int = 4
+    activation: str = "GELU"
+    cpu_offload: bool = False
+    sub_graph: Optional[EdgeSet] = None
+    sub_graph_edge_attributes: Optional[tuple[str, ...]] = ("edge_length", "edge_dirs")
+    src_grid_size: int = 0
+    dst_grid_size: int = 0
+    deterministic: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, **kwargs) -> jnp.ndarray:
+        chunk_size = _chunk_sizes(self.num_layers, self.num_chunks)
+        edge_attr_np, edge_index_np, edge_dim = register_edges(
+            self.sub_graph, self.sub_graph_edge_attributes, self.trainable_size
+        )
+        batch_size = x.shape[0]
+        edge_attr = TrainableTensor(
+            tensor_size=edge_attr_np.shape[0], trainable_size=self.trainable_size, name="trainable"
+        )(jnp.asarray(edge_attr_np, dtype=self.dtype), batch_size)
+        edge_index = jnp.asarray(edge_index_np)
+
+        Chunk = nn.remat(GraphTransformerProcessorChunk)
+        for c in range(self.num_chunks):
+            x, edge_attr = Chunk(
+                num_channels=self.num_channels,
+                num_layers=chunk_size,
+                num_heads=self.num_heads,
+                mlp_hidden_ratio=self.mlp_hidden_ratio,
+                activation=self.activation,
+                edge_dim=edge_dim,
+                deterministic=self.deterministic,
+                dtype=self.dtype,
+                name=f"proc_{c}",
+            )(x, edge_attr, edge_index)
+        return constrain(x, ("data", "model", None))

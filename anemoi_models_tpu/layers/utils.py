@@ -1,0 +1,56 @@
+"""Layer utilities: activation registry + autocast layer norm.
+
+Counterpart of reference ``layers/utils.py:16-39``. Activation names accept
+the torch-style identifiers the reference configs use ("SiLU", "GELU", ...).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["get_activation", "AutocastLayerNorm"]
+
+_ACTIVATIONS: dict[str, Callable] = {
+    "silu": jax.nn.silu,
+    "swish": jax.nn.silu,
+    "gelu": jax.nn.gelu,
+    "relu": jax.nn.relu,
+    "leakyrelu": lambda x: jax.nn.leaky_relu(x),
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+    "elu": jax.nn.elu,
+    "softplus": jax.nn.softplus,
+    "mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
+    "identity": lambda x: x,
+}
+
+
+def get_activation(name: str) -> Callable:
+    """Resolve an activation function from its (torch-style) config name."""
+    try:
+        return _ACTIVATIONS[name.lower()]
+    except KeyError as exc:
+        raise RuntimeError(f"Activation function {name} not supported") from exc
+
+
+class AutocastLayerNorm(nn.Module):
+    """LayerNorm computed in fp32 with the output cast back to the input
+    dtype — the bf16-training discipline of reference ``layers/utils.py:27-39``.
+    """
+
+    use_bias: bool = True
+    use_scale: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out = nn.LayerNorm(
+            use_bias=self.use_bias,
+            use_scale=self.use_scale,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return out.astype(x.dtype)

@@ -1,0 +1,75 @@
+"""Scaled-dot-product attention with optional sliding window.
+
+Replaces the reference's flash-attn CUDA kernel / ATen SDPA fallback
+(``layers/attention.py:19-26,92-105``). Two implementations:
+
+- ``reference``: plain jnp einsum attention with an explicit band mask and
+  fp32 softmax accumulation — correct everywhere (CPU tests), O(N²) memory.
+- ``pallas``: the blockwise flash-attention TPU kernel from
+  ``ops/pallas/flash_attention.py`` — O(N·w), bf16-in/fp32-accum.
+
+``impl="auto"`` picks pallas on TPU backends, reference elsewhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["dot_product_attention"]
+
+
+def _band_mask(n_q: int, n_k: int, window: int) -> jnp.ndarray:
+    """Boolean (n_q, n_k) mask, True where |i - j| <= window."""
+    qi = jnp.arange(n_q)[:, None]
+    kj = jnp.arange(n_k)[None, :]
+    return jnp.abs(qi - kj) <= window
+
+
+def _reference_attention(
+    query: jnp.ndarray,
+    key: jnp.ndarray,
+    value: jnp.ndarray,
+    window_size: Optional[int],
+    is_causal: bool,
+) -> jnp.ndarray:
+    head_dim = query.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, dtype=jnp.float32))
+    logits = jnp.einsum("...qd,...kd->...qk", query, key, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    n_q, n_k = logits.shape[-2], logits.shape[-1]
+    neg = jnp.asarray(-1e30, dtype=logits.dtype)
+    if window_size is not None:
+        logits = jnp.where(_band_mask(n_q, n_k, window_size), logits, neg)
+    if is_causal:
+        causal = jnp.tril(jnp.ones((n_q, n_k), dtype=bool))
+        logits = jnp.where(causal, logits, neg)
+    weights = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("...qk,...kd->...qd", weights.astype(value.dtype), value)
+
+
+def dot_product_attention(
+    query: jnp.ndarray,
+    key: jnp.ndarray,
+    value: jnp.ndarray,
+    *,
+    window_size: Optional[int] = None,
+    is_causal: bool = False,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Attention over (..., heads, seq, head_dim) tensors.
+
+    ``window_size``: half-width of the sliding attention window (the
+    reference passes flash-attn ``window_size=(w, w)``, i.e. each query
+    attends keys within ±w positions).
+    """
+    if impl == "auto":
+        platform = query.devices().pop().platform if hasattr(query, "devices") else "cpu"
+        impl = "pallas" if platform in ("tpu", "axon") else "reference"
+    if impl == "pallas":
+        from anemoi_models_tpu.ops.pallas.flash_attention import flash_attention
+
+        return flash_attention(query, key, value, window_size=window_size, is_causal=is_causal)
+    return _reference_attention(query, key, value, window_size, is_causal)

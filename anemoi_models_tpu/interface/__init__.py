@@ -1,0 +1,115 @@
+"""AnemoiModelInterface: pre-process → model → post-process.
+
+Counterpart of reference ``interface/__init__.py:20-123``, reshaped for JAX:
+the interface owns the (stateless) model definition plus the processor
+pipelines, while parameters are an explicit pytree the caller holds/threads.
+``predict_step`` mirrors the reference semantics: preprocess (not in place),
+slice the multi-step window, add the ensemble dim, forward without gradients,
+inverse post-process.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from anemoi_models_tpu.preprocessing import Processors
+from anemoi_models_tpu.utils.config import instantiate
+
+__all__ = ["AnemoiModelInterface"]
+
+
+class AnemoiModelInterface:
+    """Wraps an Anemoi model with pre- and post-processing steps."""
+
+    def __init__(
+        self,
+        *,
+        config: Any,
+        graph_data: Any,
+        statistics: dict,
+        data_indices: Any,
+        metadata: Optional[dict] = None,
+        supporting_arrays: Optional[dict] = None,
+    ) -> None:
+        self.config = config
+        self.id = str(uuid.uuid4())
+        self.multi_step = config.training.multistep_input
+        self.graph_data = graph_data
+        self.statistics = statistics
+        self.metadata = metadata or {}
+        self.supporting_arrays = supporting_arrays if supporting_arrays is not None else {}
+        self.data_indices = data_indices
+        self.params = None
+        self._predict_fn = None
+        self._build_model()
+
+    def _build_model(self) -> None:
+        """Instantiate processors and the model from config."""
+        processors = [
+            [name, instantiate(processor, data_indices=self.data_indices, statistics=self.statistics)]
+            for name, processor in self.config.data.processors.items()
+        ]
+        self.pre_processors = Processors(processors)
+        self.post_processors = Processors(processors, inverse=True)
+
+        self.model = instantiate(
+            self.config.model.model,
+            model_config=self.config,
+            data_indices=self.data_indices,
+            graph_data=self.graph_data,
+        )
+
+    # -- parameters ------------------------------------------------------
+    def example_input(self, batch_size: int = 1, ensemble_size: int = 1) -> jnp.ndarray:
+        """Zeros of the model-forward input shape (internal input width)."""
+        grid = self.graph_data[self.config.graph.data].num_nodes
+        n_in = len(self.data_indices.internal_model.input)
+        return jnp.zeros((batch_size, self.multi_step, ensemble_size, grid, n_in), dtype=jnp.float32)
+
+    def init_params(self, rng: jax.Array, example: Optional[jnp.ndarray] = None):
+        """Initialize and store model parameters."""
+        if example is None:
+            example = self.example_input()
+        self.params = self.model.init(rng, example)
+        return self.params
+
+    # -- forward paths ---------------------------------------------------
+    def forward(self, x: jnp.ndarray, params=None) -> jnp.ndarray:
+        params = params if params is not None else self.params
+        assert params is not None, "Call init_params() (or pass params) before forward()."
+        return self.model.apply(params, x)
+
+    def fit_processors(self, batch: jnp.ndarray) -> None:
+        """Eagerly fit stateful processors (imputer NaN masks) on a sample."""
+        self.pre_processors.fit(batch)
+
+    def predict_step(self, batch: jnp.ndarray, params=None) -> jnp.ndarray:
+        """Preprocess → forward → postprocess one batch.
+
+        ``batch``: (batch, time, grid, vars) at the model-input (inference)
+        or data (training) variable width, as in the reference.
+        """
+        params = params if params is not None else self.params
+        assert params is not None, "Call init_params() (or pass params) before predict_step()."
+        batch = self.pre_processors(batch, in_place=False)
+        assert len(batch.shape) == 4, (
+            f"The input tensor has an incorrect shape: expected a 4-dimensional tensor, got {batch.shape}!"
+        )
+        x = batch[:, 0 : self.multi_step, None, ...]  # add ensemble dim
+        y_hat = self.model.apply(params, x)
+        return self.post_processors(y_hat, in_place=False)
+
+    def make_predict_fn(self, donate: bool = False):
+        """Return a jitted ``(params, batch) -> prediction`` closure.
+
+        Requires stateful processors to be fitted first (``fit_processors``).
+        """
+
+        def fn(params, batch):
+            return self.predict_step(batch, params=params)
+
+        return jax.jit(fn, donate_argnums=(1,) if donate else ())

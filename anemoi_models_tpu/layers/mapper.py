@@ -63,8 +63,11 @@ class _GraphTransformerBaseMapper(nn.Module):
         )(jnp.asarray(edge_attr_np, dtype=self.dtype), batch_size)
         return edge_attr, jnp.asarray(edge_index_np)
 
-    def _block(self) -> GraphTransformerMapperBlock:
-        return GraphTransformerMapperBlock(
+    def _block(self) -> nn.Module:
+        # remat at the block boundary — the analogue of the model-level
+        # mapper checkpointing in reference encoder_processor_decoder.py:159-166
+        Block = nn.remat(GraphTransformerMapperBlock, static_argnums=(4, 5))
+        return Block(
             in_channels=self.hidden_dim,
             hidden_dim=self.mlp_hidden_ratio * self.hidden_dim,
             out_channels=self.hidden_dim,
@@ -161,8 +164,9 @@ class _GNNBaseMapper(nn.Module):
         )(edge_attr)
         return edge_attr, jnp.asarray(edge_index_np)
 
-    def _block(self, update_src_nodes: bool) -> GraphConvMapperBlock:
-        return GraphConvMapperBlock(
+    def _block(self, update_src_nodes: bool) -> nn.Module:
+        Block = nn.remat(GraphConvMapperBlock, static_argnums=(4,))
+        return Block(
             in_channels=self.hidden_dim,
             out_channels=self.hidden_dim,
             mlp_extra_layers=self.mlp_extra_layers,

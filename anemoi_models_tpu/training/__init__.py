@@ -1,0 +1,4 @@
+from anemoi_models_tpu.training.loss import WeightedMSELoss, weighted_mse
+from anemoi_models_tpu.training.step import make_train_step, TrainState
+
+__all__ = ["WeightedMSELoss", "weighted_mse", "make_train_step", "TrainState"]

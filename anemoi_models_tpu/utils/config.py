@@ -13,7 +13,7 @@ from __future__ import annotations
 import importlib
 from typing import Any, Callable
 
-__all__ = ["DotDict", "instantiate", "register", "resolve_target"]
+__all__ = ["DotDict", "as_dotdict", "instantiate", "register", "resolve_target"]
 
 
 class DotDict(dict):
@@ -67,6 +67,20 @@ class DotDict(dict):
             return value
 
         return unwrap(dict(self))
+
+
+def as_dotdict(config: Any) -> "DotDict":
+    """Deep-convert any Mapping (incl. flax FrozenDict) into a DotDict."""
+    from collections.abc import Mapping
+
+    def unwrap(value: Any) -> Any:
+        if isinstance(value, Mapping):
+            return {k: unwrap(v) for k, v in value.items()}
+        if isinstance(value, (list, tuple)):
+            return type(value)(unwrap(v) for v in value)
+        return value
+
+    return DotDict(unwrap(config))
 
 
 # --------------------------------------------------------------------------

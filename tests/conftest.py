@@ -23,3 +23,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.device_count() == 8, jax.devices()
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def small_graph():
+    from helpers_models import small_graph_cached
+
+    return small_graph_cached()

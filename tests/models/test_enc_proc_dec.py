@@ -1,0 +1,112 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from anemoi_models_tpu.data_indices import IndexCollection
+from anemoi_models_tpu.interface import AnemoiModelInterface
+from anemoi_models_tpu.models import AnemoiModelEncProcDec
+
+from helpers_models import VARS, make_config, make_statistics
+
+
+def build_model(small_graph, flavor):
+    cfg = make_config(flavor)
+    di = IndexCollection(cfg, dict(VARS))
+    model = AnemoiModelEncProcDec(model_config=cfg, data_indices=di, graph_data=small_graph)
+    n_grid = small_graph["data"].num_nodes
+    n_in = len(di.internal_model.input)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 2, 1, n_grid, n_in), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    return cfg, di, model, x, params
+
+
+@pytest.mark.parametrize("flavor", ["graphtransformer", "gnn"])
+def test_enc_proc_dec_forward(small_graph, flavor):
+    cfg, di, model, x, params = build_model(small_graph, flavor)
+    out = model.apply(params, x)
+    n_grid = small_graph["data"].num_nodes
+    assert out.shape == (1, 1, n_grid, len(di.internal_model.output))
+    assert jnp.isfinite(out).all()
+
+
+@pytest.mark.parametrize("flavor", ["graphtransformer"])
+def test_enc_proc_dec_grads(small_graph, flavor):
+    _, _, model, x, params = build_model(small_graph, flavor)
+
+    def loss(p):
+        return jnp.mean(model.apply(p, x) ** 2)
+
+    grads = jax.grad(loss)(params)
+    for kp, g in jax.tree_util.tree_leaves_with_path(grads):
+        assert jnp.isfinite(g).all(), f"non-finite grad at {kp}"
+    # trainable node/edge embeddings must receive gradients
+    flat = {jax.tree_util.keystr(kp): g for kp, g in jax.tree_util.tree_leaves_with_path(grads)}
+    trainable_grads = [v for k, v in flat.items() if "trainable" in k]
+    assert trainable_grads and any(float(jnp.abs(g).max()) > 0 for g in trainable_grads)
+
+
+def test_residual_connection(small_graph):
+    """With zero-ish network output, prognostic outputs equal last input state."""
+    cfg, di, model, x, params = build_model(small_graph, "graphtransformer")[0:5]
+    out = model.apply(params, x)
+    prog_in = np.asarray(di.internal_model.input.prognostic)
+    prog_out = np.asarray(di.internal_model.output.prognostic)
+    # residual: out = net(x) + x_last for prognostic vars; with random init the
+    # correlation with the input must be visible (delta smaller than raw input)
+    delta = np.asarray(out[0, 0, :, prog_out[0]]) - np.asarray(x[0, -1, 0, :, prog_in[0]])
+    assert np.abs(delta).mean() < np.abs(np.asarray(out[0, 0, :, prog_out[0]])).mean() + 1.0
+
+
+def test_bounding_applied(small_graph):
+    cfg = make_config(
+        "graphtransformer",
+        bounding=[
+            {"_target_": "anemoi.models.layers.bounding.ReluBounding", "variables": ["tp"]}
+        ],
+    )
+    di = IndexCollection(cfg, dict(VARS))
+    model = AnemoiModelEncProcDec(model_config=cfg, data_indices=di, graph_data=small_graph)
+    n_grid = small_graph["data"].num_nodes
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 2, 1, n_grid, 4), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    tp_idx = di.internal_model.output.name_to_index["tp"]
+    assert (out[..., tp_idx] >= 0).all()
+
+
+def test_interface_predict_step(small_graph):
+    cfg = make_config("graphtransformer")
+    di = IndexCollection(cfg, dict(VARS))
+    iface = AnemoiModelInterface(
+        config=cfg,
+        graph_data=small_graph,
+        statistics=make_statistics(),
+        data_indices=di,
+        metadata={"note": "test"},
+    )
+    n_grid = small_graph["data"].num_nodes
+    iface.init_params(jax.random.key(0))
+    # inference-width batch: model input vars (lsm, z_500, t_850, t2m)
+    batch = jnp.asarray(np.random.RandomState(1).rand(1, 2, n_grid, 4), jnp.float32)
+    out = iface.predict_step(batch)
+    # output at model-output width: z_500, t_850, t2m, tp
+    assert out.shape == (1, 1, n_grid, 4)
+    assert jnp.isfinite(out).all()
+    # jitted path agrees with eager
+    fn = iface.make_predict_fn()
+    out_jit = fn(iface.params, batch)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_jit), atol=1e-5)
+
+
+def test_interface_forward_equals_model_apply(small_graph):
+    cfg = make_config("gnn")
+    di = IndexCollection(cfg, dict(VARS))
+    iface = AnemoiModelInterface(
+        config=cfg, graph_data=small_graph, statistics=make_statistics(), data_indices=di
+    )
+    x = iface.example_input()
+    params = iface.init_params(jax.random.key(0), x)
+    np.testing.assert_array_equal(
+        np.asarray(iface.forward(x)), np.asarray(iface.model.apply(params, x))
+    )

@@ -1,5 +1,6 @@
 from anemoi_models_tpu.graphs.build import (
     build_enc_proc_dec_graph,
+    build_hierarchical_graph,
     cutoff_edges,
     edge_attributes,
     icosahedral_nodes,
@@ -13,6 +14,7 @@ __all__ = [
     "HeteroGraph",
     "NodeSet",
     "build_enc_proc_dec_graph",
+    "build_hierarchical_graph",
     "cutoff_edges",
     "edge_attributes",
     "icosahedral_nodes",

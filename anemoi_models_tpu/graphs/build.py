@@ -23,9 +23,10 @@ __all__ = [
     "icosahedral_nodes",
     "knn_edges",
     "cutoff_edges",
-    "multiscale_icosahedral_graph",
+    "multiscale_edges",
     "edge_attributes",
     "build_enc_proc_dec_graph",
+    "build_hierarchical_graph",
 ]
 
 
@@ -173,7 +174,7 @@ def edge_attributes(src: NodeSet, dst: NodeSet, edge_index: np.ndarray) -> dict[
     lat_mid = 0.5 * (a[:, 0] + b[:, 0])
     dirs = np.stack([dlat, dlon * np.cos(lat_mid)], axis=-1).astype(np.float32)
     norm = np.linalg.norm(dirs, axis=-1, keepdims=True)
-    dirs = np.where(norm > 1e-12, dirs / norm, 0.0)
+    dirs = np.divide(dirs, norm, out=np.zeros_like(dirs), where=norm > 1e-12)
     return {"edge_length": length, "edge_dirs": dirs}
 
 
@@ -218,3 +219,66 @@ def build_enc_proc_dec_graph(
         },
     )
     return graph.sorted()
+
+
+def build_hierarchical_graph(
+    *,
+    grid_lat: int = 32,
+    mesh_refinements: int = 3,
+    num_levels: int = 2,
+    encoder_cutoff_factor: float = 1.6,
+    decoder_knn: int = 3,
+    level_knn: int = 3,
+    data_name: str = "data",
+    hidden_prefix: str = "hidden",
+) -> tuple[HeteroGraph, list[str]]:
+    """Multi-level graph for the hierarchical model: data grid + a pyramid of
+    icosahedral meshes at decreasing refinement.
+
+    Edge sets: data→h1 (cutoff), h_i→h_i intra-level, h_i→h_{i+1}
+    (downscale, knn), h_{i+1}→h_i (upscale, knn), h1→data (knn).
+    Returns (graph, hidden_names) with hidden_names ordered fine→coarse —
+    the layout the hierarchical model consumes
+    (reference ``models/hierarchical.py:53-163``).
+    """
+    assert num_levels >= 1 and mesh_refinements - (num_levels - 1) >= 0
+    data_nodes = latlon_grid_nodes(grid_lat)
+    hidden_names = [f"{hidden_prefix}_{i + 1}" for i in range(num_levels)]
+    level_nodes: list[NodeSet] = []
+    level_faces: list[np.ndarray] = []
+    for i in range(num_levels):
+        ns, faces = icosahedral_nodes(mesh_refinements - i)
+        level_nodes.append(ns)
+        level_faces.append(faces[-1])
+
+    nodes = {data_name: data_nodes}
+    edges: dict[tuple[str, str, str], EdgeSet] = {}
+
+    def add_edge(src_name, dst_name, src_ns, dst_ns, idx):
+        edges[(src_name, "to", dst_name)] = EdgeSet(
+            edge_index=idx, attrs=edge_attributes(src_ns, dst_ns, idx)
+        )
+
+    # encoder: data -> finest hidden
+    fine = level_nodes[0]
+    mesh_edge = _faces_to_bidirectional_edges(level_faces[0])
+    mesh_xyz = _latlon_to_xyz(fine.coords)
+    typical = np.linalg.norm(mesh_xyz[mesh_edge[0]] - mesh_xyz[mesh_edge[1]], axis=-1).mean()
+    enc_idx = cutoff_edges(data_nodes, fine, radius=encoder_cutoff_factor * typical)
+    add_edge(data_name, hidden_names[0], data_nodes, fine, enc_idx)
+
+    for i, name in enumerate(hidden_names):
+        nodes[name] = level_nodes[i]
+        intra = _faces_to_bidirectional_edges(level_faces[i])
+        add_edge(name, name, level_nodes[i], level_nodes[i], intra)
+        if i + 1 < num_levels:
+            down = knn_edges(level_nodes[i], level_nodes[i + 1], k=level_knn)
+            add_edge(name, hidden_names[i + 1], level_nodes[i], level_nodes[i + 1], down)
+            up = knn_edges(level_nodes[i + 1], level_nodes[i], k=level_knn)
+            add_edge(hidden_names[i + 1], name, level_nodes[i + 1], level_nodes[i], up)
+
+    # decoder: finest hidden -> data
+    dec_idx = knn_edges(fine, data_nodes, k=decoder_knn)
+    add_edge(hidden_names[0], data_name, fine, data_nodes, dec_idx)
+
+    return HeteroGraph(nodes=nodes, edges=edges).sorted(), hidden_names

@@ -1,0 +1,52 @@
+"""Autoregressive rollout driver.
+
+The reference's models are consumed autoregressively by anemoi-training /
+anemoi-inference (multi-step input window, predicted prognostic variables fed
+back, forcings supplied externally). This module owns that loop as a
+``lax.scan`` — one compiled program for an N-step rollout, no host round
+trips between steps.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["make_rollout_fn"]
+
+
+def make_rollout_fn(model: Any, data_indices: Any, n_steps: int) -> Callable:
+    """Build ``rollout(params, x0, forcings) -> (x_final, predictions)``.
+
+    - ``x0``: (batch, multi_step, ensemble, grid, n_in) initial window at the
+      internal-model input width.
+    - ``forcings``: (n_steps, batch, ensemble, grid, n_forcing) per-step
+      forcing values, or None if the model has no forcing variables.
+    - returns predictions (n_steps, batch, ensemble, grid, n_out).
+    """
+    prog_in = np.asarray(data_indices.internal_model.input.prognostic)
+    prog_out = np.asarray(data_indices.internal_model.output.prognostic)
+    forcing_in = np.asarray(data_indices.internal_model.input.forcing)
+    n_in = len(data_indices.internal_model.input)
+
+    def rollout(params, x0: jnp.ndarray, forcings: Optional[jnp.ndarray] = None):
+        def advance(x, y, forcing_t):
+            """Shift the multi-step window, feeding back prognostic outputs."""
+            nxt = jnp.zeros(x.shape[:1] + x.shape[2:4] + (n_in,), dtype=x.dtype)
+            nxt = nxt.at[..., prog_in].set(y[..., prog_out])
+            if forcing_t is not None and forcing_in.size:
+                nxt = nxt.at[..., forcing_in].set(forcing_t)
+            return jnp.concatenate([x[:, 1:], nxt[:, None]], axis=1)
+
+        def body(x, forcing_t):
+            y = model.apply(params, x)
+            return advance(x, y, forcing_t), y
+
+        if forcings is None:
+            return jax.lax.scan(lambda x, _: body(x, None), x0, None, length=n_steps)
+        return jax.lax.scan(body, x0, forcings)
+
+    return rollout

@@ -1,0 +1,62 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from anemoi_models_tpu.data_indices import IndexCollection
+from anemoi_models_tpu.models import AnemoiModelEncProcDec
+from anemoi_models_tpu.training import make_rollout_fn, make_train_step, weighted_mse
+from helpers_models import VARS, make_config
+
+
+def build(small_graph):
+    cfg = make_config("graphtransformer", num_channels=8)
+    di = IndexCollection(cfg, dict(VARS))
+    model = AnemoiModelEncProcDec(model_config=cfg, data_indices=di, graph_data=small_graph)
+    n_grid = small_graph["data"].num_nodes
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 2, 1, n_grid, 4), jnp.float32)
+    return cfg, di, model, x
+
+
+def test_train_loss_decreases(small_graph):
+    _, di, model, x = build(small_graph)
+    y = jnp.asarray(np.random.RandomState(1).randn(1, 1, x.shape[3], 4) * 0.1, jnp.float32)
+    init_state, train_step = make_train_step(model, optax.adam(1e-2))
+    state = init_state(jax.random.key(0), x)
+    step = jax.jit(train_step)
+    losses = []
+    for _ in range(5):
+        state, loss = step(state, x, y)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 5
+
+
+def test_weighted_mse_masking():
+    pred = jnp.ones((2, 4, 3))
+    target = jnp.zeros((2, 4, 3))
+    mask = jnp.zeros((4, 3))
+    assert float(weighted_mse(pred, target, loss_mask=mask)) == 0.0
+    w = jnp.asarray(np.array([1.0, 0.0, 0.0, 0.0]))
+    assert float(weighted_mse(pred, target, node_weights=w)) == 1.0
+
+
+def test_rollout(small_graph):
+    _, di, model, x = build(small_graph)
+    params = model.init(jax.random.key(0), x)
+    n_steps = 3
+    rollout = make_rollout_fn(model, di, n_steps)
+    n_grid = x.shape[3]
+    forcings = jnp.zeros((n_steps, 1, 1, n_grid, 1), jnp.float32)
+    x_final, preds = jax.jit(rollout)(params, x, forcings)
+    assert preds.shape == (n_steps, 1, 1, n_grid, 4)
+    assert x_final.shape == x.shape
+    assert jnp.isfinite(preds).all()
+    # window advanced: last input slice contains the fed-back prognostic predictions
+    prog_in = np.asarray(di.internal_model.input.prognostic)
+    prog_out = np.asarray(di.internal_model.output.prognostic)
+    np.testing.assert_allclose(
+        np.asarray(x_final[0, -1, 0, :, prog_in]),
+        np.asarray(preds[-1][0, 0, :, prog_out]),
+        atol=1e-6,
+    )

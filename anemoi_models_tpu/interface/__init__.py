@@ -56,11 +56,15 @@ class AnemoiModelInterface:
         self.pre_processors = Processors(processors)
         self.post_processors = Processors(processors, inverse=True)
 
+        compute_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+            self.config.model.get("compute_dtype", "float32")
+        ]
         self.model = instantiate(
             self.config.model.model,
             model_config=self.config,
             data_indices=self.data_indices,
             graph_data=self.graph_data,
+            dtype=compute_dtype,
         )
 
     # -- parameters ------------------------------------------------------

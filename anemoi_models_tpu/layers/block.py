@@ -104,11 +104,15 @@ class _GraphConvBase(nn.Module):
             name="node_mlp",
         )
 
-    def _run_conv(self, conv, x, edge_attr, edge_index, num_dst):
-        """Optionally edge-chunked conv (reference ``block.py:205-217``)."""
+    def _run_conv(self, conv, x, edge_attr, edge_index, num_dst, tables=None):
+        """Optionally edge-chunked conv (reference ``block.py:205-217``).
+
+        With dense neighbor ``tables`` the scatter-free path is used and edge
+        chunking is unnecessary (aggregation is a static-width reduction).
+        """
         num_chunks = max(self.num_chunks, 1)
-        if num_chunks == 1:
-            return conv(x, edge_attr, edge_index, num_dst)
+        if tables is not None or num_chunks == 1:
+            return conv(x, edge_attr, edge_index, num_dst, tables)
         e = edge_attr.shape[-2]
         bounds = [round(i * e / num_chunks) for i in range(num_chunks + 1)]
         out = None
@@ -130,8 +134,11 @@ class GraphConvProcessorBlock(_GraphConvBase):
         edge_attr: jnp.ndarray,
         edge_index: jnp.ndarray,
         num_dst: Optional[int] = None,
+        tables=None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
-        out, edges_new = self._run_conv(self._conv(), x, edge_attr, edge_index, num_dst or x.shape[-2])
+        out, edges_new = self._run_conv(
+            self._conv(), x, edge_attr, edge_index, num_dst or x.shape[-2], tables
+        )
         out = constrain(out, ("data", "model", None))
         nodes_new = self._node_mlp()(jnp.concatenate([x, out], axis=-1)) + x
         return constrain(nodes_new, ("data", "model", None)), edges_new
@@ -147,10 +154,11 @@ class GraphConvMapperBlock(_GraphConvBase):
         edge_attr: jnp.ndarray,
         edge_index: jnp.ndarray,
         num_dst: Optional[int] = None,
+        tables=None,
     ) -> tuple[tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
         x_src, x_dst = x
         out, edges_new = self._run_conv(
-            self._conv(), (x_src, x_dst), edge_attr, edge_index, num_dst or x_dst.shape[-2]
+            self._conv(), (x_src, x_dst), edge_attr, edge_index, num_dst or x_dst.shape[-2], tables
         )
         out = constrain(out, ("data", "model", None))
         node_mlp = self._node_mlp()
@@ -197,14 +205,17 @@ class _GraphTransformerBase(nn.Module):
         edges = nn.Dense(width, dtype=self.dtype, name="lin_edge")(edge_attr)
         return query, key, value, edges
 
-    def _conv_chunked(self, query, key, value, edges, edge_index, num_dst, num_chunks):
+    def _conv_chunked(self, query, key, value, edges, edge_index, num_dst, num_chunks, tables=None):
         """Edge-chunked per-edge attention. Chunking splits the (CSR-sorted)
         edge set, so per-destination softmax normalization must span chunks:
         compute unnormalized exp-weighted sums + normalizers per chunk and
         combine (reference instead re-sorts chunks 1-hop, ``block.py:510-527``).
+
+        With dense ``tables`` the scatter-free path is used unchunked (its
+        live memory is already bounded by the padded degree).
         """
-        if num_chunks <= 1:
-            return graph_transformer_conv(query, key, value, edges, edge_index, num_dst)
+        if tables is not None or num_chunks <= 1:
+            return graph_transformer_conv(query, key, value, edges, edge_index, num_dst, tables)
         # Flash-style two-pass over edge chunks: pass 1 accumulates the
         # per-destination max logit, pass 2 the exp-weighted sums. Correct
         # softmax across chunk boundaries at O(E/num_chunks) live memory.
@@ -273,6 +284,7 @@ class GraphTransformerProcessorBlock(_GraphTransformerBase):
         edge_index: jnp.ndarray,
         num_dst: Optional[int] = None,
         deterministic: bool = True,
+        tables=None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         num_dst = num_dst or x.shape[-2]
         x_skip = x
@@ -282,7 +294,7 @@ class GraphTransformerProcessorBlock(_GraphTransformerBase):
         query, key, value, edges = map(self._heads, (query, key, value, edges))
 
         num_chunks = self.num_chunks if not deterministic else max(self.num_chunks, NUM_CHUNKS_INFERENCE)
-        out = self._conv_chunked(query, key, value, edges, edge_index, num_dst, num_chunks)
+        out = self._conv_chunked(query, key, value, edges, edge_index, num_dst, num_chunks, tables)
         b, n = out.shape[0], out.shape[1]
         out = constrain(out, ("data", None, "model", None)).reshape(b, n, self.out_channels)
         out = constrain(out, ("data", "model", None))
@@ -307,6 +319,7 @@ class GraphTransformerMapperBlock(_GraphTransformerBase):
         edge_index: jnp.ndarray,
         num_dst: Optional[int] = None,
         deterministic: bool = True,
+        tables=None,
     ) -> tuple[tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
         x_skip = x
         num_dst = num_dst or x[1].shape[-2]
@@ -317,7 +330,7 @@ class GraphTransformerMapperBlock(_GraphTransformerBase):
         query, key, value, edges = map(self._heads, (query, key, value, edges))
 
         num_chunks = self.num_chunks if not deterministic else max(self.num_chunks, NUM_CHUNKS_INFERENCE)
-        out = self._conv_chunked(query, key, value, edges, edge_index, num_dst, num_chunks)
+        out = self._conv_chunked(query, key, value, edges, edge_index, num_dst, num_chunks, tables)
         b = out.shape[0]
         out = constrain(out, ("data", None, "model", None)).reshape(b, num_dst, self.out_channels)
         out = constrain(out, ("data", "model", None))

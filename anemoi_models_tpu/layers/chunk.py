@@ -71,6 +71,7 @@ class GNNProcessorChunk(nn.Module):
         x: jnp.ndarray,
         edge_attr: jnp.ndarray,
         edge_index: jnp.ndarray,
+        tables=None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         if self.edge_dim:
             edge_attr = MLP(
@@ -89,7 +90,7 @@ class GNNProcessorChunk(nn.Module):
                 activation=self.activation,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
-            )(x, edge_attr, edge_index)
+            )(x, edge_attr, edge_index, None, tables)
         return x, edge_attr
 
 
@@ -111,6 +112,7 @@ class GraphTransformerProcessorChunk(nn.Module):
         x: jnp.ndarray,
         edge_attr: jnp.ndarray,
         edge_index: jnp.ndarray,
+        tables=None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         for i in range(self.num_layers):
             x, edge_attr = GraphTransformerProcessorBlock(
@@ -121,5 +123,5 @@ class GraphTransformerProcessorChunk(nn.Module):
                 activation=self.activation,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
-            )(x, edge_attr, edge_index, deterministic=self.deterministic)
+            )(x, edge_attr, edge_index, None, self.deterministic, tables)
         return x, edge_attr

@@ -18,6 +18,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from anemoi_models_tpu.graphs.container import EdgeSet
+from anemoi_models_tpu.graphs.partition import edge_set_neighbor_table
 from anemoi_models_tpu.layers.block import GraphConvMapperBlock, GraphTransformerMapperBlock
 from anemoi_models_tpu.layers.graph import TrainableTensor
 from anemoi_models_tpu.layers.mlp import MLP
@@ -51,6 +52,7 @@ class _GraphTransformerBaseMapper(nn.Module):
     sub_graph_edge_attributes: Optional[tuple[str, ...]] = ("edge_length", "edge_dirs")
     src_grid_size: int = 0
     dst_grid_size: int = 0
+    graph_impl: str = "dense"
     deterministic: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -62,6 +64,12 @@ class _GraphTransformerBaseMapper(nn.Module):
             tensor_size=edge_attr_np.shape[0], trainable_size=self.trainable_size, name="trainable"
         )(jnp.asarray(edge_attr_np, dtype=self.dtype), batch_size)
         return edge_attr, jnp.asarray(edge_index_np)
+
+    def _tables(self, num_dst: int):
+        if self.graph_impl != "dense":
+            return None
+        edge_ids, src_ids, mask = edge_set_neighbor_table(self.sub_graph, num_dst)
+        return jnp.asarray(edge_ids), jnp.asarray(src_ids), jnp.asarray(mask)
 
     def _block(self) -> nn.Module:
         # remat at the block boundary — the analogue of the model-level
@@ -82,7 +90,8 @@ class _GraphTransformerBaseMapper(nn.Module):
         """Embed → block → return (x_src_in, x_dst_out) pre-post-processing."""
         edge_attr, edge_index = self._edges(batch_size)
         (x_src, x_dst), _ = self._block()(
-            (x_src, x_dst), edge_attr, edge_index, x_dst.shape[-2], self.deterministic
+            (x_src, x_dst), edge_attr, edge_index, x_dst.shape[-2], self.deterministic,
+            self._tables(x_dst.shape[-2]),
         )
         return x_src, x_dst
 
@@ -145,7 +154,14 @@ class _GNNBaseMapper(nn.Module):
     sub_graph_edge_attributes: Optional[tuple[str, ...]] = ("edge_length", "edge_dirs")
     src_grid_size: int = 0
     dst_grid_size: int = 0
+    graph_impl: str = "dense"
     dtype: jnp.dtype = jnp.float32
+
+    def _tables(self, num_dst: int):
+        if self.graph_impl != "dense":
+            return None
+        edge_ids, src_ids, mask = edge_set_neighbor_table(self.sub_graph, num_dst)
+        return jnp.asarray(edge_ids), jnp.asarray(src_ids), jnp.asarray(mask)
 
     def _edges(self, batch_size: int) -> tuple[jnp.ndarray, jnp.ndarray]:
         edge_attr_np, edge_index_np, _ = register_edges(
@@ -203,7 +219,7 @@ class GNNForwardMapper(_GNNBaseMapper):
         x_src = MLP(**mlp_kw, name="emb_nodes_src")(constrain(x_src_in, ("data", "model", None)))
         x_dst = MLP(**mlp_kw, name="emb_nodes_dst")(constrain(x_dst_in, ("data", "model", None)))
         (x_src, x_dst), _ = self._block(update_src_nodes=True)(
-            (x_src, x_dst), edge_attr, edge_index, x_dst.shape[-2]
+            (x_src, x_dst), edge_attr, edge_index, x_dst.shape[-2], self._tables(x_dst.shape[-2])
         )
         return x_src, x_dst
 
@@ -219,7 +235,7 @@ class GNNBackwardMapper(_GNNBaseMapper):
         batch_size = batch_size or x_src.shape[0]
         edge_attr, edge_index = self._edges(batch_size)
         (_, x_dst), _ = self._block(update_src_nodes=False)(
-            (x_src, x_dst), edge_attr, edge_index, x_dst.shape[-2]
+            (x_src, x_dst), edge_attr, edge_index, x_dst.shape[-2], self._tables(x_dst.shape[-2])
         )
         # node_data_extractor MLP without final LN/activation (mapper.py:680-688)
         x_dst = MLP(

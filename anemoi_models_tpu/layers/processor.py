@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from anemoi_models_tpu.graphs.container import EdgeSet
+from anemoi_models_tpu.graphs.partition import edge_set_neighbor_table
 from anemoi_models_tpu.layers.chunk import (
     GNNProcessorChunk,
     GraphTransformerProcessorChunk,
@@ -47,6 +48,14 @@ def register_edges(
     edge_attr = sub_graph.attr_tensor(list(edge_attributes))
     edge_index = np.asarray(sub_graph.edge_index, dtype=np.int32)
     return edge_attr, edge_index, edge_attr.shape[1] + trainable_size
+
+
+def _tables(sub_graph: EdgeSet, num_dst: int, graph_impl: str):
+    """Dense neighbor tables (TPU fast path) or None for the segment path."""
+    if graph_impl != "dense":
+        return None
+    edge_ids, src_ids, mask = edge_set_neighbor_table(sub_graph, num_dst)
+    return jnp.asarray(edge_ids), jnp.asarray(src_ids), jnp.asarray(mask)
 
 
 def _chunk_sizes(num_layers: int, num_chunks: int) -> int:
@@ -109,6 +118,7 @@ class GNNProcessor(nn.Module):
     sub_graph_edge_attributes: Optional[tuple[str, ...]] = ("edge_length", "edge_dirs")
     src_grid_size: int = 0
     dst_grid_size: int = 0
+    graph_impl: str = "dense"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -122,6 +132,7 @@ class GNNProcessor(nn.Module):
             tensor_size=edge_attr_np.shape[0], trainable_size=self.trainable_size, name="trainable"
         )(jnp.asarray(edge_attr_np, dtype=self.dtype), batch_size)
         edge_index = jnp.asarray(edge_index_np)
+        tables = _tables(self.sub_graph, x.shape[-2], self.graph_impl)
 
         Chunk = nn.remat(GNNProcessorChunk)
         for c in range(self.num_chunks):
@@ -133,7 +144,7 @@ class GNNProcessor(nn.Module):
                 edge_dim=edge_dim if c == 0 else None,  # first chunk embeds edges
                 dtype=self.dtype,
                 name=f"proc_{c}",
-            )(x, edge_attr, edge_index)
+            )(x, edge_attr, edge_index, tables)
         return constrain(x, ("data", "model", None))
 
 
@@ -152,6 +163,7 @@ class GraphTransformerProcessor(nn.Module):
     sub_graph_edge_attributes: Optional[tuple[str, ...]] = ("edge_length", "edge_dirs")
     src_grid_size: int = 0
     dst_grid_size: int = 0
+    graph_impl: str = "dense"
     deterministic: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -166,6 +178,7 @@ class GraphTransformerProcessor(nn.Module):
             tensor_size=edge_attr_np.shape[0], trainable_size=self.trainable_size, name="trainable"
         )(jnp.asarray(edge_attr_np, dtype=self.dtype), batch_size)
         edge_index = jnp.asarray(edge_index_np)
+        tables = _tables(self.sub_graph, x.shape[-2], self.graph_impl)
 
         Chunk = nn.remat(GraphTransformerProcessorChunk)
         for c in range(self.num_chunks):
@@ -179,5 +192,5 @@ class GraphTransformerProcessor(nn.Module):
                 deterministic=self.deterministic,
                 dtype=self.dtype,
                 name=f"proc_{c}",
-            )(x, edge_attr, edge_index)
+            )(x, edge_attr, edge_index, tables)
         return constrain(x, ("data", "model", None))

@@ -66,10 +66,13 @@ def dot_product_attention(
     attends keys within ±w positions).
     """
     if impl == "auto":
-        platform = query.devices().pop().platform if hasattr(query, "devices") else "cpu"
-        impl = "pallas" if platform in ("tpu", "axon") else "reference"
+        impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "reference"
     if impl == "pallas":
         from anemoi_models_tpu.ops.pallas.flash_attention import flash_attention
 
-        return flash_attention(query, key, value, window_size=window_size, is_causal=is_causal)
+        return flash_attention(query, key, value, window_size, is_causal)
+    if impl == "chunked":
+        from anemoi_models_tpu.ops.pallas.flash_attention import blockwise_attention
+
+        return blockwise_attention(query, key, value, window_size=window_size, is_causal=is_causal)
     return _reference_attention(query, key, value, window_size, is_causal)

@@ -35,24 +35,35 @@ def main() -> None:
     channels = int(os.environ.get("BENCH_CHANNELS", "256"))
     layers = int(os.environ.get("BENCH_LAYERS", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
     model, x, _ = _build(
         grid_lat=grid_lat,
         mesh_refinements=refinements,
         num_channels=channels,
         num_layers=layers,
+        dtype=dtype,
     )
     n_grid = x.shape[3]
 
     params = jax.jit(model.init)(jax.random.key(0), x)
-    fwd = jax.jit(model.apply)
-    out = fwd(params, x)
-    out.block_until_ready()  # compile + warmup
+
+    @jax.jit
+    def step(params, x):
+        # one forward; output folded back into the input through a
+        # numerically negligible (but not constant-foldable) term so
+        # successive steps form a true dependency chain — async runtimes
+        # cannot overlap or elide them
+        out = model.apply(params, x)
+        return x + (out.mean() * 1e-30).astype(x.dtype)
+
+    x1 = step(params, x)
+    float(x1.mean())  # compile + warmup, forced to completion
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fwd(params, x)
-    out.block_until_ready()
+        x1 = step(params, x1)
+    float(x1.mean())  # forces the whole chain
     dt = time.perf_counter() - t0
 
     gps = n_grid * iters / dt
@@ -60,7 +71,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": f"enc-proc-dec fwd grid-points/s/chip (O96-class: grid={n_grid}, "
-                f"mesh_r{refinements}, C={channels}, L={layers})",
+                f"mesh_r{refinements}, C={channels}, L={layers}, {dtype})",
                 "value": round(gps, 1),
                 "unit": "grid-points/s",
                 "vs_baseline": round(gps / TARGET_GRID_POINTS_PER_S, 4),

@@ -1,0 +1,59 @@
+"""Attention implementation equivalence: reference vs blockwise (jnp) vs
+pallas (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from anemoi_models_tpu.ops.attention import dot_product_attention
+from anemoi_models_tpu.ops.pallas.flash_attention import blockwise_attention
+
+
+def qkv(n=96, d=16, h=2, b=1, seed=0):
+    rng = np.random.RandomState(seed)
+    return tuple(jnp.asarray(rng.randn(b, h, n, d), jnp.float32) for _ in range(3))
+
+
+@pytest.mark.parametrize("window", [None, 8, 32])
+def test_blockwise_matches_reference(window):
+    q, k, v = qkv()
+    ref = dot_product_attention(q, k, v, window_size=window, impl="reference")
+    blk = blockwise_attention(q, k, v, window_size=window, block_size=32)
+    np.testing.assert_allclose(np.asarray(blk), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("window", [None, 16])
+def test_blockwise_causal(window):
+    q, k, v = qkv(n=40)
+    ref = dot_product_attention(q, k, v, window_size=window, is_causal=True, impl="reference")
+    blk = blockwise_attention(q, k, v, window_size=window, is_causal=True, block_size=16)
+    np.testing.assert_allclose(np.asarray(blk), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("window", [None, 8])
+def test_blockwise_grad_matches_reference(window):
+    q, k, v = qkv(n=48, d=8)
+
+    def loss(fn):
+        return lambda q_: jnp.sum(fn(q_) ** 2)
+
+    ref_fn = loss(lambda q_: dot_product_attention(q_, k, v, window_size=window, impl="reference"))
+    blk_fn = loss(lambda q_: blockwise_attention(q_, k, v, window_size=window, block_size=16))
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(blk_fn)(q)), np.asarray(jax.grad(ref_fn)(q)), atol=1e-4, rtol=1e-3
+    )
+
+
+@pytest.mark.parametrize("window,n", [(None, 64), (16, 96), (8, 100)])
+def test_pallas_kernel_interpret_matches_reference(window, n):
+    """Run the Pallas kernel in interpreter mode on CPU."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from anemoi_models_tpu.ops.pallas.flash_attention import _flash_forward
+
+    q, k, v = qkv(n=n, d=32)
+    ref = dot_product_attention(q, k, v, window_size=window, impl="reference")
+    with pltpu.force_tpu_interpret_mode():
+        out = _flash_forward(q, k, v, window, False, 32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)

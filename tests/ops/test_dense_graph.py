@@ -1,0 +1,90 @@
+"""Dense (padded-neighbor) path must match the segment reference path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from anemoi_models_tpu.graphs import build_enc_proc_dec_graph
+from anemoi_models_tpu.graphs.partition import dense_neighbor_table
+from anemoi_models_tpu.layers.conv import GraphConv, graph_transformer_conv
+from anemoi_models_tpu.ops.dense_graph import gather_edges, masked_neighbor_sum
+from anemoi_models_tpu.ops.segment import segment_sum
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return build_enc_proc_dec_graph(grid_lat=6, mesh_refinements=1)
+
+
+def test_dense_neighbor_table_roundtrip(graph):
+    es = graph[("data", "to", "hidden")]
+    n_dst = graph["hidden"].num_nodes
+    edge_ids, src_ids, mask = dense_neighbor_table(es.edge_index, n_dst)
+    # every edge appears exactly once
+    assert mask.sum() == es.num_edges
+    flat = edge_ids[mask]
+    assert sorted(flat.tolist()) == list(range(es.num_edges))
+    # src ids consistent with edge_index
+    np.testing.assert_array_equal(es.edge_index[0][edge_ids[mask]], src_ids[mask])
+
+
+def test_masked_sum_equals_segment_sum(graph):
+    es = graph[("hidden", "to", "hidden")]
+    n = graph["hidden"].num_nodes
+    e = jnp.asarray(np.random.RandomState(0).randn(2, es.num_edges, 8), jnp.float32)
+    seg = segment_sum(e, jnp.asarray(es.edge_index[1]), n)
+    edge_ids, _, mask = dense_neighbor_table(es.edge_index, n)
+    dense = masked_neighbor_sum(gather_edges(e, jnp.asarray(edge_ids)), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(seg), atol=1e-5)
+
+
+def test_graph_transformer_conv_dense_matches_segment(graph):
+    es = graph[("hidden", "to", "hidden")]
+    n = graph["hidden"].num_nodes
+    h, d = 4, 8
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(2, n, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(2, n, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(2, n, h, d), jnp.float32)
+    e = jnp.asarray(rng.randn(2, es.num_edges, h, d), jnp.float32)
+    ei = jnp.asarray(es.edge_index)
+    ref = graph_transformer_conv(q, k, v, e, ei, n)
+    tables = tuple(jnp.asarray(t) for t in dense_neighbor_table(es.edge_index, n))
+    dense = graph_transformer_conv(q, k, v, e, ei, n, tables=tables)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_graph_conv_dense_matches_segment(graph):
+    es = graph[("data", "to", "hidden")]
+    n_src, n_dst = graph["data"].num_nodes, graph["hidden"].num_nodes
+    conv = GraphConv(out_channels=8)
+    rng = np.random.RandomState(2)
+    x_src = jnp.asarray(rng.randn(1, n_src, 8), jnp.float32)
+    x_dst = jnp.asarray(rng.randn(1, n_dst, 8), jnp.float32)
+    e = jnp.asarray(rng.randn(1, es.num_edges, 8), jnp.float32)
+    ei = jnp.asarray(es.edge_index)
+    params = conv.init(jax.random.key(0), (x_src, x_dst), e, ei, n_dst)
+    ref, edges_ref = conv.apply(params, (x_src, x_dst), e, ei, n_dst)
+    tables = tuple(jnp.asarray(t) for t in dense_neighbor_table(es.edge_index, n_dst))
+    dense, edges_dense = conv.apply(params, (x_src, x_dst), e, ei, n_dst, tables)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(ref), atol=2e-5, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(edges_ref), np.asarray(edges_dense))
+
+
+def test_dense_grad_matches_segment_grad(graph):
+    es = graph[("hidden", "to", "hidden")]
+    n = graph["hidden"].num_nodes
+    h, d = 2, 4
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(1, n, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(1, n, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(1, n, h, d), jnp.float32)
+    ei = jnp.asarray(es.edge_index)
+    tables = tuple(jnp.asarray(t) for t in dense_neighbor_table(es.edge_index, n))
+
+    g_ref = jax.grad(lambda k_: jnp.sum(graph_transformer_conv(q, k_, v, None, ei, n) ** 2))(k)
+    g_dense = jax.grad(
+        lambda k_: jnp.sum(graph_transformer_conv(q, k_, v, None, ei, n, tables=tables) ** 2)
+    )(k)
+    np.testing.assert_allclose(np.asarray(g_dense), np.asarray(g_ref), atol=1e-4, rtol=1e-3)

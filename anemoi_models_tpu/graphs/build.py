@@ -84,6 +84,11 @@ def _icosahedron() -> tuple[np.ndarray, np.ndarray]:
 
 def _subdivide(verts: np.ndarray, faces: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """One loop-subdivision step on a triangulated sphere mesh."""
+    from anemoi_models_tpu import native
+
+    result = native.subdivide(verts, faces)
+    if result is not None:
+        return result
     edge_mid: dict[tuple[int, int], int] = {}
     new_verts = [verts]
     next_id = len(verts)

@@ -91,14 +91,25 @@ class EdgeSet:
         return np.concatenate([np.asarray(self.attrs[n], dtype=np.float32) for n in names], axis=1)
 
     def sort_by_dst(self, num_dst: int) -> "EdgeSet":
-        """Return a copy sorted by destination node with CSR offsets."""
+        """Return a copy sorted by destination node with CSR offsets.
+
+        Uses the native C++ counting sort when available (O1280-scale edge
+        sets), numpy lexsort otherwise — both order by (dst, src).
+        """
+        from anemoi_models_tpu import native
+
         src, dst = self.edge_index
-        order = np.lexsort((src, dst))
+        num_src = int(src.max()) + 1 if src.size else 0
+        result = native.sort_edges_csr(self.edge_index, num_src, num_dst)
+        if result is not None:
+            order, dst_ptr = result
+        else:
+            order = np.lexsort((src, dst))
+            dst_ptr = np.zeros(num_dst + 1, dtype=np.int64)
+            np.add.at(dst_ptr, dst.astype(np.int64) + 1, 1)
+            dst_ptr = np.cumsum(dst_ptr)
         edge_index = self.edge_index[:, order].astype(np.int32)
         attrs = {k: v[order] for k, v in self.attrs.items()}
-        dst_ptr = np.zeros(num_dst + 1, dtype=np.int64)
-        np.add.at(dst_ptr, edge_index[1] + 1, 1)
-        dst_ptr = np.cumsum(dst_ptr)
         return EdgeSet(edge_index=edge_index, attrs=attrs, dst_ptr=dst_ptr)
 
 

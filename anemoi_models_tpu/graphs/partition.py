@@ -31,8 +31,13 @@ def dense_neighbor_table(
 
     Requires ``edge_index`` sorted by destination (``EdgeSet.sort_by_dst``).
     """
+    from anemoi_models_tpu import native
+
     src, dst = np.asarray(edge_index)
     assert np.all(np.diff(dst) >= 0), "edge_index must be CSR-sorted by destination"
+    result = native.dense_tables(np.asarray(edge_index), num_dst, pad_to_multiple)
+    if result is not None:
+        return result
     counts = np.bincount(dst, minlength=num_dst)
     max_deg = int(counts.max()) if counts.size else 0
     if pad_to_multiple > 1 and max_deg % pad_to_multiple:

@@ -1,0 +1,112 @@
+"""Native (C++) graph-build kernels, compiled on first use and loaded via
+ctypes. Every entry point has a NumPy fallback in ``graphs/``; ``available()``
+reports whether the native path is usable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+LOGGER = logging.getLogger(__name__)
+
+__all__ = ["available", "sort_edges_csr", "dense_tables", "subdivide"]
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)), "graph_native.cpp")
+    cache_dir = os.environ.get(
+        "ANEMOI_TPU_NATIVE_CACHE", os.path.join(tempfile.gettempdir(), "anemoi_tpu_native")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, "graph_native.so")
+    if not os.path.exists(so_path) or os.path.getmtime(so_path) < os.path.getmtime(src):
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", src, "-o", so_path]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except Exception as exc:  # compiler missing/failed: fall back to numpy
+            LOGGER.warning("native graph kernels unavailable (%s); using numpy fallbacks", exc)
+            return None
+    lib = ctypes.CDLL(so_path)
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.sort_edges_csr.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i64p, i64p]
+    lib.sort_edges_csr.restype = None
+    lib.dense_tables.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i32p, i32p, u8p]
+    lib.dense_tables.restype = None
+    lib.max_in_degree.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32]
+    lib.max_in_degree.restype = ctypes.c_int32
+    lib.subdivide.argtypes = [f64p, ctypes.c_int64, i64p, ctypes.c_int64, f64p, i64p]
+    lib.subdivide.restype = ctypes.c_int64
+    return lib
+
+
+def _lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if not _TRIED:
+        _TRIED = True
+        _LIB = _build_and_load()
+    return _LIB
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def sort_edges_csr(edge_index: np.ndarray, num_src: int, num_dst: int):
+    """(perm, dst_ptr) sorting edges by (dst, src); None if native unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(edge_index[0], dtype=np.int32)
+    dst = np.ascontiguousarray(edge_index[1], dtype=np.int32)
+    e = src.shape[0]
+    perm = np.empty(e, dtype=np.int64)
+    dst_ptr = np.empty(num_dst + 1, dtype=np.int64)
+    lib.sort_edges_csr(src, dst, e, num_src, num_dst, perm, dst_ptr)
+    return perm, dst_ptr
+
+
+def dense_tables(edge_index_sorted: np.ndarray, num_dst: int, pad_to_multiple: int = 1):
+    """(edge_ids, src_ids, mask) dense tables; None if native unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(edge_index_sorted[0], dtype=np.int32)
+    dst = np.ascontiguousarray(edge_index_sorted[1], dtype=np.int32)
+    e = src.shape[0]
+    max_deg = int(lib.max_in_degree(dst, e, num_dst))
+    if pad_to_multiple > 1 and max_deg % pad_to_multiple:
+        max_deg += pad_to_multiple - max_deg % pad_to_multiple
+    max_deg = max(max_deg, 1)
+    edge_ids = np.empty((num_dst, max_deg), dtype=np.int32)
+    src_ids = np.empty((num_dst, max_deg), dtype=np.int32)
+    mask = np.empty((num_dst, max_deg), dtype=np.uint8)
+    lib.dense_tables(src, dst, e, num_dst, max_deg, edge_ids, src_ids, mask)
+    return edge_ids, src_ids, mask.astype(bool)
+
+
+def subdivide(verts: np.ndarray, faces: np.ndarray):
+    """One icosphere subdivision; None if native unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    verts = np.ascontiguousarray(verts, dtype=np.float64)
+    faces = np.ascontiguousarray(faces, dtype=np.int64)
+    nv, nf = verts.shape[0], faces.shape[0]
+    # Euler: a closed triangulated sphere has 3/2 edges per face -> midpoints
+    new_verts = np.empty((nv + (3 * nf) // 2, 3), dtype=np.float64)
+    new_faces = np.empty((4 * nf, 3), dtype=np.int64)
+    count = int(lib.subdivide(verts, nv, faces, nf, new_verts, new_faces))
+    return new_verts[:count], new_faces

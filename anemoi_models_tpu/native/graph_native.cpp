@@ -1,0 +1,121 @@
+// Native graph-build kernels for anemoi-models-tpu.
+//
+// The reference offloads its graph machinery to torch_geometric's compiled
+// kernels (sort/scatter, ``khop_edges.py``); here the equivalent build-time
+// work — CSR edge sorting, dense neighbor-table construction, icosahedron
+// subdivision — is implemented in C++ for O1280-scale graphs (millions of
+// nodes, ~1e8 edges), exposed through a plain C ABI consumed via ctypes
+// (no pybind11 dependency). NumPy fallbacks live in graphs/*.py.
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// Stable two-pass counting sort of edges by (dst, src): fills `perm` with the
+// permutation that sorts the edge list, and `dst_ptr` (len num_dst+1) with
+// CSR row offsets.
+void sort_edges_csr(const int32_t* src, const int32_t* dst, int64_t num_edges,
+                    int32_t num_src, int32_t num_dst, int64_t* perm,
+                    int64_t* dst_ptr) {
+  std::vector<int64_t> tmp(num_edges);
+  // pass 1: stable counting sort by src
+  {
+    std::vector<int64_t> count(num_src + 1, 0);
+    for (int64_t e = 0; e < num_edges; ++e) count[src[e] + 1]++;
+    for (int32_t i = 0; i < num_src; ++i) count[i + 1] += count[i];
+    for (int64_t e = 0; e < num_edges; ++e) tmp[count[src[e]]++] = e;
+  }
+  // pass 2: stable counting sort by dst
+  {
+    std::vector<int64_t> count(num_dst + 1, 0);
+    for (int64_t e = 0; e < num_edges; ++e) count[dst[e] + 1]++;
+    for (int32_t i = 0; i < num_dst; ++i) count[i + 1] += count[i];
+    std::memcpy(dst_ptr, count.data(), sizeof(int64_t) * (num_dst + 1));
+    std::vector<int64_t> pos(count.begin(), count.end());
+    for (int64_t i = 0; i < num_edges; ++i) {
+      int64_t e = tmp[i];
+      perm[pos[dst[e]]++] = e;
+    }
+  }
+}
+
+// Dense neighbor tables from CSR-sorted edges: edge ids, source ids and a
+// validity mask, each (num_dst, max_deg) row-major. Returns nothing; caller
+// allocates. `max_deg` must be >= the true max in-degree.
+void dense_tables(const int32_t* src_sorted, const int32_t* dst_sorted,
+                  int64_t num_edges, int32_t num_dst, int32_t max_deg,
+                  int32_t* edge_ids, int32_t* src_ids, uint8_t* mask) {
+  std::memset(edge_ids, 0, sizeof(int32_t) * (int64_t)num_dst * max_deg);
+  std::memset(src_ids, 0, sizeof(int32_t) * (int64_t)num_dst * max_deg);
+  std::memset(mask, 0, sizeof(uint8_t) * (int64_t)num_dst * max_deg);
+  int64_t e = 0;
+  for (int32_t d = 0; d < num_dst; ++d) {
+    int32_t k = 0;
+    while (e < num_edges && dst_sorted[e] == d) {
+      int64_t off = (int64_t)d * max_deg + k;
+      edge_ids[off] = (int32_t)e;
+      src_ids[off] = src_sorted[e];
+      mask[off] = 1;
+      ++e;
+      ++k;
+    }
+  }
+}
+
+// Max in-degree of a CSR-sorted destination column.
+int32_t max_in_degree(const int32_t* dst_sorted, int64_t num_edges,
+                      int32_t num_dst) {
+  int32_t best = 0;
+  int64_t e = 0;
+  for (int32_t d = 0; d < num_dst && e < num_edges; ++d) {
+    int32_t k = 0;
+    while (e < num_edges && dst_sorted[e] == d) { ++e; ++k; }
+    if (k > best) best = k;
+  }
+  return best;
+}
+
+// One icosphere subdivision step. verts: (nv, 3) unit vectors; faces:
+// (nf, 3) int64. Outputs: new_verts appended after the old ones (caller
+// allocates nv + 3*nf/2 + ... upper bound = nv + 2*nf rows; actual count
+// returned), new_faces (4*nf, 3).
+int64_t subdivide(const double* verts, int64_t nv, const int64_t* faces,
+                  int64_t nf, double* new_verts, int64_t* new_faces) {
+  std::unordered_map<uint64_t, int64_t> midpoint;
+  midpoint.reserve(nf * 2);
+  std::memcpy(new_verts, verts, sizeof(double) * nv * 3);
+  int64_t next = nv;
+
+  auto mid = [&](int64_t a, int64_t b) -> int64_t {
+    uint64_t key = a < b ? ((uint64_t)a << 32) | (uint64_t)b
+                         : ((uint64_t)b << 32) | (uint64_t)a;
+    auto it = midpoint.find(key);
+    if (it != midpoint.end()) return it->second;
+    double x = verts[a * 3] + verts[b * 3];
+    double y = verts[a * 3 + 1] + verts[b * 3 + 1];
+    double z = verts[a * 3 + 2] + verts[b * 3 + 2];
+    double inv = 1.0 / std::sqrt(x * x + y * y + z * z);
+    new_verts[next * 3] = x * inv;
+    new_verts[next * 3 + 1] = y * inv;
+    new_verts[next * 3 + 2] = z * inv;
+    midpoint.emplace(key, next);
+    return next++;
+  };
+
+  for (int64_t f = 0; f < nf; ++f) {
+    int64_t a = faces[f * 3], b = faces[f * 3 + 1], c = faces[f * 3 + 2];
+    int64_t ab = mid(a, b), bc = mid(b, c), ca = mid(c, a);
+    int64_t* out = new_faces + f * 12;
+    out[0] = a;  out[1] = ab; out[2] = ca;
+    out[3] = b;  out[4] = bc; out[5] = ab;
+    out[6] = c;  out[7] = ca; out[8] = bc;
+    out[9] = ab; out[10] = bc; out[11] = ca;
+  }
+  return next;
+}
+
+}  // extern "C"

@@ -48,23 +48,34 @@ def main() -> None:
 
     params = jax.jit(model.init)(jax.random.key(0), x)
 
-    @jax.jit
-    def step(params, x):
-        # one forward; output folded back into the input through a
-        # numerically negligible (but not constant-foldable) term so
-        # successive steps form a true dependency chain — async runtimes
-        # cannot overlap or elide them
-        out = model.apply(params, x)
-        return x + (out.mean() * 1e-30).astype(x.dtype)
+    def make_chain(k):
+        # k forwards unrolled in ONE program, each folded back into the input
+        # through a numerically negligible (but not constant-foldable) term:
+        # a true dependency chain that async runtimes cannot overlap or elide
+        @jax.jit
+        def run(params, x):
+            for _ in range(k):
+                out = model.apply(params, x)
+                x = x + (out.mean() * 1e-30).astype(x.dtype)
+            return x
 
-    x1 = step(params, x)
-    float(x1.mean())  # compile + warmup, forced to completion
+        return run
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x1 = step(params, x1)
-    float(x1.mean())  # forces the whole chain
-    dt = time.perf_counter() - t0
+    def timed(k, repeats=3):
+        run = make_chain(k)
+        float(run(params, x).mean())  # compile + warmup, forced to completion
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(run(params, x).mean())  # fetch forces real completion
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # subtracting the 1-forward program time cancels fixed dispatch/transfer
+    # overhead (large on tunneled runtimes), leaving pure per-forward device time
+    t1 = timed(1)
+    tk = timed(1 + iters)
+    dt = max(tk - t1, 1e-9)
 
     gps = n_grid * iters / dt
     print(

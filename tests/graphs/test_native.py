@@ -1,0 +1,89 @@
+"""Native C++ graph kernels must match the numpy fallbacks exactly."""
+
+import numpy as np
+import pytest
+
+from anemoi_models_tpu import native
+
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native kernels unavailable")
+
+
+def random_edges(e=5000, ns=300, nd=200, seed=0):
+    rng = np.random.RandomState(seed)
+    return np.stack([rng.randint(0, ns, e), rng.randint(0, nd, e)]).astype(np.int32), ns, nd
+
+
+def test_sort_matches_lexsort():
+    ei, ns, nd = random_edges()
+    perm, dst_ptr = native.sort_edges_csr(ei, ns, nd)
+    ref = np.lexsort((ei[0], ei[1]))
+    np.testing.assert_array_equal(perm, ref)
+    ref_ptr = np.zeros(nd + 1, dtype=np.int64)
+    np.add.at(ref_ptr, ei[1].astype(np.int64) + 1, 1)
+    np.testing.assert_array_equal(dst_ptr, np.cumsum(ref_ptr))
+
+
+def test_dense_tables_match_numpy():
+    from anemoi_models_tpu.graphs.partition import dense_neighbor_table
+
+    ei, ns, nd = random_edges(seed=1)
+    perm, _ = native.sort_edges_csr(ei, ns, nd)
+    sorted_ei = ei[:, perm]
+    nat = native.dense_tables(sorted_ei, nd)
+
+    # numpy fallback path (bypass native) for comparison
+    src, dst = sorted_ei
+    counts = np.bincount(dst, minlength=nd)
+    max_deg = max(int(counts.max()), 1)
+    edge_ids = np.zeros((nd, max_deg), np.int32)
+    src_ids = np.zeros((nd, max_deg), np.int32)
+    mask = np.zeros((nd, max_deg), bool)
+    starts = np.zeros(nd + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    pos = np.arange(len(dst)) - starts[dst]
+    edge_ids[dst, pos] = np.arange(len(dst), dtype=np.int32)
+    src_ids[dst, pos] = src
+    mask[dst, pos] = True
+
+    np.testing.assert_array_equal(nat[0], edge_ids)
+    np.testing.assert_array_equal(nat[1], src_ids)
+    np.testing.assert_array_equal(nat[2], mask)
+
+
+def test_subdivide_matches_python():
+    from anemoi_models_tpu.graphs.build import _icosahedron
+
+    verts, faces = _icosahedron()
+    nat_v, nat_f = native.subdivide(verts, faces)
+    # python reference (copied logic, kept independent of the dispatcher)
+    edge_mid, new_verts, nxt = {}, [verts], len(verts)
+
+    def midpoint(a, b):
+        nonlocal nxt
+        key = (min(a, b), max(a, b))
+        if key not in edge_mid:
+            m = verts[a] + verts[b]
+            m = m / np.linalg.norm(m)
+            new_verts.append(m[None])
+            edge_mid[key] = nxt
+            nxt += 1
+        return edge_mid[key]
+
+    ref_f = np.empty((len(faces) * 4, 3), np.int64)
+    for i, (a, b, c) in enumerate(faces):
+        ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+        ref_f[4 * i:4 * i + 4] = [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+    ref_v = np.concatenate(new_verts)
+    np.testing.assert_allclose(nat_v, ref_v, atol=1e-12)
+    np.testing.assert_array_equal(nat_f, ref_f)
+
+
+def test_graph_build_uses_native_consistently():
+    """Full graph build should give identical results either way."""
+    from anemoi_models_tpu.graphs import build_enc_proc_dec_graph
+
+    g = build_enc_proc_dec_graph(grid_lat=6, mesh_refinements=1)
+    for key, es in g.edge_items():
+        assert np.all(np.diff(es.edge_index[1]) >= 0)
+        assert es.dst_ptr[-1] == es.num_edges

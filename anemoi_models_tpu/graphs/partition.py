@@ -16,7 +16,12 @@ import numpy as np
 
 from anemoi_models_tpu.graphs.container import EdgeSet
 
-__all__ = ["dense_neighbor_table", "edge_set_neighbor_table"]
+__all__ = [
+    "dense_neighbor_table",
+    "edge_set_neighbor_table",
+    "HaloPartition",
+    "partition_1hop",
+]
 
 
 def dense_neighbor_table(
@@ -69,3 +74,117 @@ def edge_set_neighbor_table(
     if key not in _TABLE_CACHE:
         _TABLE_CACHE[key] = dense_neighbor_table(edge_set.edge_index, num_dst, pad_to_multiple)
     return _TABLE_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# 1-hop (halo) domain decomposition
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass
+class HaloPartition:
+    """Host-side plan for 1-hop halo exchange over a contiguous node split.
+
+    Destination nodes are split contiguously over ``num_shards`` (equal-pad
+    split: every shard owns ``nodes_per_shard`` rows, the last rows of the
+    global tensor may be padding). For each shard, the incoming edges are
+    remapped so source positions index an extended per-shard tensor
+    ``[local nodes | halo nodes]``; halo features are fetched from a global
+    *boundary pool* assembled by one all-gather of each shard's boundary
+    contribution — O(boundary) communication instead of the reference's full
+    all-gather (``distributed/graph.py:92-113``).
+
+    Arrays (S = num_shards):
+    - ``local_edges``: (S, E_pad, 2) int32 — per-shard [src_ext, dst_local]
+      edge list, padded with (0, 0).
+    - ``edge_mask``: (S, E_pad) bool.
+    - ``boundary_contrib``: (S, B_pad) int32 — local node positions each
+      shard contributes to the boundary pool (padded with 0).
+    - ``halo_select``: (S, H_pad) int32 — positions into the flattened
+      (S*B_pad) boundary pool forming each shard's halo (padded with 0).
+    - ``halo_mask``: (S, H_pad) bool.
+    - ``nodes_per_shard``: rows owned per shard (grid padded to S*nps).
+    """
+
+    num_shards: int
+    num_nodes: int
+    nodes_per_shard: int
+    local_edges: np.ndarray
+    edge_mask: np.ndarray
+    boundary_contrib: np.ndarray
+    halo_select: np.ndarray
+    halo_mask: np.ndarray
+
+    @property
+    def halo_width(self) -> int:
+        return self.halo_select.shape[1]
+
+
+def partition_1hop(edge_index: np.ndarray, num_nodes: int, num_shards: int) -> HaloPartition:
+    """Build a :class:`HaloPartition` for a homogeneous edge set."""
+    src, dst = np.asarray(edge_index, dtype=np.int64)
+    nps = -(-num_nodes // num_shards)  # ceil: equal shards with tail padding
+
+    shard_of = lambda n: np.minimum(n // nps, num_shards - 1)  # noqa: E731
+
+    # per-shard edge lists + halo node sets
+    per_shard_edges: list[np.ndarray] = []
+    per_shard_halo: list[np.ndarray] = []
+    for s in range(num_shards):
+        lo, hi = s * nps, min((s + 1) * nps, num_nodes)
+        sel = (dst >= lo) & (dst < hi)
+        e_src, e_dst = src[sel], dst[sel]
+        remote = e_src[(e_src < lo) | (e_src >= hi)]
+        per_shard_halo.append(np.unique(remote))
+        per_shard_edges.append(np.stack([e_src, e_dst - lo], axis=1))
+
+    # boundary pool: nodes needed by any other shard, grouped by owner
+    needed = np.unique(np.concatenate(per_shard_halo)) if per_shard_halo else np.empty(0, np.int64)
+    owner = shard_of(needed)
+    b_pad = max(int(np.max(np.bincount(owner, minlength=num_shards))) if needed.size else 0, 1)
+    boundary_contrib = np.zeros((num_shards, b_pad), dtype=np.int32)
+    # global node id -> position in flattened boundary pool
+    pool_pos = {}
+    for s in range(num_shards):
+        mine = needed[owner == s]
+        boundary_contrib[s, : len(mine)] = (mine - s * nps).astype(np.int32)
+        for i, n in enumerate(mine):
+            pool_pos[int(n)] = s * b_pad + i
+
+    h_pad = max(max((len(h) for h in per_shard_halo), default=0), 1)
+    halo_select = np.zeros((num_shards, h_pad), dtype=np.int32)
+    halo_mask = np.zeros((num_shards, h_pad), dtype=bool)
+    e_pad = max(max((len(e) for e in per_shard_edges), default=0), 1)
+    local_edges = np.zeros((num_shards, e_pad, 2), dtype=np.int32)
+    edge_mask = np.zeros((num_shards, e_pad), dtype=bool)
+
+    for s in range(num_shards):
+        lo = s * nps
+        halo = per_shard_halo[s]
+        halo_select[s, : len(halo)] = [pool_pos[int(n)] for n in halo]
+        halo_mask[s, : len(halo)] = True
+        # remap edge sources: local -> position, halo -> nps + halo_rank
+        halo_rank = {int(n): i for i, n in enumerate(halo)}
+        e = per_shard_edges[s]
+        src_ext = np.empty(len(e), dtype=np.int32)
+        for i, (gsrc, _) in enumerate(e):
+            if lo <= gsrc < lo + nps:
+                src_ext[i] = gsrc - lo
+            else:
+                src_ext[i] = nps + halo_rank[int(gsrc)]
+        local_edges[s, : len(e), 0] = src_ext
+        local_edges[s, : len(e), 1] = e[:, 1]
+        edge_mask[s, : len(e)] = True
+
+    return HaloPartition(
+        num_shards=num_shards,
+        num_nodes=num_nodes,
+        nodes_per_shard=nps,
+        local_edges=local_edges,
+        edge_mask=edge_mask,
+        boundary_contrib=boundary_contrib,
+        halo_select=halo_select,
+        halo_mask=halo_mask,
+    )

@@ -62,8 +62,10 @@ def main() -> None:
         return run
 
     def timed(k, repeats=3):
+        print(f"bench: compiling {k}-forward chain...", file=sys.stderr, flush=True)
         run = make_chain(k)
         float(run(params, x).mean())  # compile + warmup, forced to completion
+        print(f"bench: timing {k}-forward chain", file=sys.stderr, flush=True)
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()

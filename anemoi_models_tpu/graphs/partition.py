@@ -19,6 +19,8 @@ from anemoi_models_tpu.graphs.container import EdgeSet
 __all__ = [
     "dense_neighbor_table",
     "edge_set_neighbor_table",
+    "bucketed_neighbor_tables",
+    "edge_set_bucketed_tables",
     "HaloPartition",
     "partition_1hop",
 ]
@@ -188,3 +190,72 @@ def partition_1hop(edge_index: np.ndarray, num_nodes: int, num_shards: int) -> H
         halo_select=halo_select,
         halo_mask=halo_mask,
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree-bucketed dense tables
+# ---------------------------------------------------------------------------
+
+
+def bucketed_neighbor_tables(
+    edge_index: np.ndarray, num_dst: int, min_cap: int = 4
+) -> tuple[list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]], np.ndarray]:
+    """Dense neighbor tables bucketed by in-degree.
+
+    A single flat table pads every destination to the global max in-degree —
+    ruinous when the degree distribution is skewed (lat/lon grids near the
+    poles: mean ~17, max ~200+). Here destinations are partitioned into
+    power-of-two degree buckets; each bucket gets its own (node_ids, edge_ids,
+    src_ids, mask) table padded only to the bucket cap. Aggregation runs per
+    bucket and results are reassembled by one gather via ``reassemble``
+    (position of each destination in the concatenated bucket outputs).
+
+    Requires CSR-sorted edges. Returns ``(buckets, reassemble)``.
+    """
+    src, dst = np.asarray(edge_index)
+    assert np.all(np.diff(dst) >= 0), "edge_index must be CSR-sorted by destination"
+    counts = np.bincount(dst, minlength=num_dst)
+    starts = np.zeros(num_dst + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+
+    caps: list[int] = []
+    cap = max(min_cap, 1)
+    max_deg = int(counts.max()) if counts.size else 1
+    while cap < max_deg:
+        caps.append(cap)
+        cap *= 2
+    caps.append(max(cap, 1))
+
+    bucket_of = np.searchsorted(np.asarray(caps), counts, side="left")
+    buckets = []
+    reassemble = np.zeros(num_dst, dtype=np.int32)
+    offset = 0
+    for b, cap in enumerate(caps):
+        node_ids = np.nonzero(bucket_of == b)[0].astype(np.int32)
+        if node_ids.size == 0:
+            continue
+        nb = len(node_ids)
+        edge_ids = np.zeros((nb, cap), dtype=np.int32)
+        src_ids = np.zeros((nb, cap), dtype=np.int32)
+        mask = np.zeros((nb, cap), dtype=bool)
+        for i, d in enumerate(node_ids):
+            lo, hi = starts[d], starts[d + 1]
+            k = hi - lo
+            edge_ids[i, :k] = np.arange(lo, hi, dtype=np.int32)
+            src_ids[i, :k] = src[lo:hi]
+            mask[i, :k] = True
+        buckets.append((node_ids, edge_ids, src_ids, mask))
+        reassemble[node_ids] = offset + np.arange(nb, dtype=np.int32)
+        offset += nb
+    return buckets, reassemble
+
+
+_BUCKET_CACHE: dict[int, tuple] = {}
+
+
+def edge_set_bucketed_tables(edge_set: EdgeSet, num_dst: int):
+    """Cached :func:`bucketed_neighbor_tables` for an EdgeSet."""
+    key = id(edge_set)
+    if key not in _BUCKET_CACHE:
+        _BUCKET_CACHE[key] = bucketed_neighbor_tables(edge_set.edge_index, num_dst)
+    return _BUCKET_CACHE[key]

@@ -19,7 +19,10 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from anemoi_models_tpu.layers.mlp import MLP
-from anemoi_models_tpu.ops.dense_graph import dense_edge_attention, gather_edges, masked_neighbor_sum
+from anemoi_models_tpu.ops.dense_graph import (
+    bucketed_edge_attention,
+    bucketed_neighbor_sum,
+)
 from anemoi_models_tpu.ops.segment import gather_nodes, segment_softmax, segment_sum
 
 __all__ = ["GraphConv", "graph_transformer_conv"]
@@ -46,7 +49,7 @@ class GraphConv(nn.Module):
         edge_attr: jnp.ndarray,
         edge_index: jnp.ndarray,
         num_dst: Optional[int] = None,
-        tables: Optional[tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
+        tables=None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         x_src, x_dst = x if isinstance(x, tuple) else (x, x)
         if num_dst is None:
@@ -64,10 +67,10 @@ class GraphConv(nn.Module):
             + edge_attr
         )
         if tables is not None:
-            # TPU fast path: gather into the padded neighbor table and do a
-            # masked static-width reduction instead of a scatter
-            edge_ids, _, mask = tables
-            out = masked_neighbor_sum(gather_edges(edges_new, edge_ids), mask)
+            # TPU fast path: degree-bucketed gather + static-width masked
+            # reductions instead of a scatter
+            buckets, reassemble = tables
+            out = bucketed_neighbor_sum(edges_new, buckets, reassemble)
         else:
             out = segment_sum(edges_new, edge_index[1], num_dst)
         return out, edges_new
@@ -80,17 +83,19 @@ def graph_transformer_conv(
     edge_attr: Optional[jnp.ndarray],
     edge_index: jnp.ndarray,
     num_dst: Optional[int] = None,
-    tables: Optional[tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
+    tables=None,
 ) -> jnp.ndarray:
     """Per-edge multi-head attention restricted to graph edges.
 
     ``query`` (B, Nd, H, D); ``key``/``value`` (B, Ns, H, D);
     ``edge_attr`` (B, E, H, D) or None; returns (B, Nd, H, D).
-    With ``tables`` (dense neighbor layout), runs the scatter-free TPU path.
+    With ``tables`` = (degree buckets, reassemble) from
+    ``graphs.partition.bucketed_neighbor_tables``, runs the scatter-free TPU
+    path.
     """
     if tables is not None:
-        edge_ids, src_ids, mask = tables
-        return dense_edge_attention(query, key, value, edge_attr, src_ids, edge_ids, mask)
+        buckets, reassemble = tables
+        return bucketed_edge_attention(query, key, value, edge_attr, buckets, reassemble)
     if num_dst is None:
         num_dst = query.shape[-3]
     out_channels = query.shape[-1]

@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from anemoi_models_tpu.graphs.container import EdgeSet
-from anemoi_models_tpu.graphs.partition import edge_set_neighbor_table
+from anemoi_models_tpu.graphs.partition import edge_set_bucketed_tables
 from anemoi_models_tpu.layers.block import GraphConvMapperBlock, GraphTransformerMapperBlock
 from anemoi_models_tpu.layers.graph import TrainableTensor
 from anemoi_models_tpu.layers.mlp import MLP
@@ -68,8 +68,9 @@ class _GraphTransformerBaseMapper(nn.Module):
     def _tables(self, num_dst: int):
         if self.graph_impl != "dense":
             return None
-        edge_ids, src_ids, mask = edge_set_neighbor_table(self.sub_graph, num_dst)
-        return jnp.asarray(edge_ids), jnp.asarray(src_ids), jnp.asarray(mask)
+        buckets, reassemble = edge_set_bucketed_tables(self.sub_graph, num_dst)
+        buckets = [tuple(jnp.asarray(a) for a in b) for b in buckets]
+        return buckets, jnp.asarray(reassemble)
 
     def _block(self) -> nn.Module:
         # remat at the block boundary — the analogue of the model-level
@@ -160,8 +161,9 @@ class _GNNBaseMapper(nn.Module):
     def _tables(self, num_dst: int):
         if self.graph_impl != "dense":
             return None
-        edge_ids, src_ids, mask = edge_set_neighbor_table(self.sub_graph, num_dst)
-        return jnp.asarray(edge_ids), jnp.asarray(src_ids), jnp.asarray(mask)
+        buckets, reassemble = edge_set_bucketed_tables(self.sub_graph, num_dst)
+        buckets = [tuple(jnp.asarray(a) for a in b) for b in buckets]
+        return buckets, jnp.asarray(reassemble)
 
     def _edges(self, batch_size: int) -> tuple[jnp.ndarray, jnp.ndarray]:
         edge_attr_np, edge_index_np, _ = register_edges(

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from anemoi_models_tpu.graphs.container import EdgeSet
-from anemoi_models_tpu.graphs.partition import edge_set_neighbor_table
+from anemoi_models_tpu.graphs.partition import edge_set_bucketed_tables
 from anemoi_models_tpu.layers.chunk import (
     GNNProcessorChunk,
     GraphTransformerProcessorChunk,
@@ -54,8 +54,9 @@ def _tables(sub_graph: EdgeSet, num_dst: int, graph_impl: str):
     """Dense neighbor tables (TPU fast path) or None for the segment path."""
     if graph_impl != "dense":
         return None
-    edge_ids, src_ids, mask = edge_set_neighbor_table(sub_graph, num_dst)
-    return jnp.asarray(edge_ids), jnp.asarray(src_ids), jnp.asarray(mask)
+    buckets, reassemble = edge_set_bucketed_tables(sub_graph, num_dst)
+    buckets = [tuple(jnp.asarray(a) for a in b) for b in buckets]
+    return buckets, jnp.asarray(reassemble)
 
 
 def _chunk_sizes(num_layers: int, num_chunks: int) -> int:

@@ -71,16 +71,23 @@ class AnemoiModelEncProcDec(nn.Module):
             name="encoder",
             **_accepted(cfg.model.encoder, common),
         )
+        # graph kwargs are filtered: the TransformerProcessor flavor takes no
+        # sub_graph (it attends over mesh positions, not edges)
         self.processor = instantiate(
             cfg.model.processor,
             num_channels=self.num_channels,
-            sub_graph=self.graph_data.edges.get(
-                (self._graph_name_hidden, "to", self._graph_name_hidden)
-            ),
-            src_grid_size=self.node_attributes.num_nodes[self._graph_name_hidden],
-            dst_grid_size=self.node_attributes.num_nodes[self._graph_name_hidden],
             name="processor",
-            **_accepted(cfg.model.processor, common),
+            **_accepted(
+                cfg.model.processor,
+                {
+                    **common,
+                    "sub_graph": self.graph_data.edges.get(
+                        (self._graph_name_hidden, "to", self._graph_name_hidden)
+                    ),
+                    "src_grid_size": self.node_attributes.num_nodes[self._graph_name_hidden],
+                    "dst_grid_size": self.node_attributes.num_nodes[self._graph_name_hidden],
+                },
+            ),
         )
         self.decoder = instantiate(
             cfg.model.decoder,

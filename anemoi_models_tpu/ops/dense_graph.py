@@ -70,3 +70,50 @@ def dense_edge_attention(
     denom = jnp.maximum(w.sum(axis=-2, keepdims=True), 1e-16)
     alpha = (w / denom).astype(value.dtype)
     return (v_n * alpha[..., None]).sum(axis=-3)
+
+
+def bucketed_neighbor_sum(
+    x_edges: jnp.ndarray, buckets, reassemble: jnp.ndarray
+) -> jnp.ndarray:
+    """Sum per-edge values into destinations using degree-bucketed tables.
+
+    x_edges (..., E, C); returns (..., num_dst, C). Pure gathers + static
+    reductions — no scatter, and no padding to the global max degree.
+    """
+    outs = []
+    for _, edge_ids, _, mask in buckets:
+        g = jnp.take(x_edges, edge_ids, axis=-2)  # (..., nb, cap, C)
+        outs.append(jnp.where(mask[..., None], g, 0).sum(axis=-2))
+    cat = jnp.concatenate(outs, axis=-2)
+    return jnp.take(cat, reassemble, axis=-2)
+
+
+def bucketed_edge_attention(
+    query: jnp.ndarray,
+    key: jnp.ndarray,
+    value: jnp.ndarray,
+    edge_attr,
+    buckets,
+    reassemble: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-edge attention over degree-bucketed tables.
+
+    query (B, N, H, D) [destinations], key/value (B, Ns, H, D), edge_attr
+    (B, E, H, D) or None. Equivalent to :func:`dense_edge_attention` but each
+    degree bucket is padded only to its own cap.
+    """
+    outs = []
+    for node_ids, edge_ids, src_ids, mask in buckets:
+        q_b = jnp.take(query, node_ids, axis=-3)  # (B, nb, H, D)
+        out = dense_edge_attention(
+            q_b,
+            key,
+            value,
+            edge_attr,
+            src_ids,
+            edge_ids,
+            mask,
+        )
+        outs.append(out)
+    cat = jnp.concatenate(outs, axis=-3)
+    return jnp.take(cat, reassemble, axis=-3)

@@ -7,16 +7,28 @@ VARS = {"lsm": 0, "z_500": 1, "t_850": 2, "t2m": 3, "tp": 4}  # forcing, prog, p
 
 
 def make_config(flavor: str = "graphtransformer", num_channels: int = 16, bounding=()):
+    mapper_flavor = "gnn" if flavor == "gnn" else "graphtransformer"
     mapper_target = {
         "graphtransformer": "anemoi.models.layers.mapper.GraphTransformer{}Mapper",
         "gnn": "anemoi.models.layers.mapper.GNN{}Mapper",
-    }[flavor]
+    }[mapper_flavor]
     processor_target = {
         "graphtransformer": "anemoi.models.layers.processor.GraphTransformerProcessor",
         "gnn": "anemoi.models.layers.processor.GNNProcessor",
+        "transformer": "anemoi.models.layers.processor.TransformerProcessor",
     }[flavor]
-    proc_extra = {"num_heads": 4, "mlp_hidden_ratio": 4} if flavor == "graphtransformer" else {}
-    mapper_extra = {"num_heads": 4, "mlp_hidden_ratio": 4} if flavor == "graphtransformer" else {}
+    proc_extra = {"num_heads": 4, "mlp_hidden_ratio": 4}
+    if flavor == "gnn":
+        proc_extra = {}
+    elif flavor == "transformer":
+        proc_extra = {
+            "num_heads": 4,
+            "mlp_hidden_ratio": 4,
+            "window_size": 8,
+            "dropout_p": 0.0,
+            "attention_impl": "reference",
+        }
+    mapper_extra = {"num_heads": 4, "mlp_hidden_ratio": 4} if mapper_flavor == "graphtransformer" else {}
     return DotDict(
         {
             "data": {
@@ -48,8 +60,11 @@ def make_config(flavor: str = "graphtransformer", num_channels: int = 16, boundi
                     "_target_": processor_target,
                     "num_layers": 2,
                     "num_chunks": 1,
-                    "trainable_size": 2,
-                    "sub_graph_edge_attributes": ["edge_length", "edge_dirs"],
+                    **(
+                        {"trainable_size": 2, "sub_graph_edge_attributes": ["edge_length", "edge_dirs"]}
+                        if flavor != "transformer"
+                        else {}
+                    ),
                     **proc_extra,
                 },
                 "decoder": {

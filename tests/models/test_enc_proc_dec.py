@@ -21,7 +21,7 @@ def build_model(small_graph, flavor):
     return cfg, di, model, x, params
 
 
-@pytest.mark.parametrize("flavor", ["graphtransformer", "gnn"])
+@pytest.mark.parametrize("flavor", ["graphtransformer", "gnn", "transformer"])
 def test_enc_proc_dec_forward(small_graph, flavor):
     cfg, di, model, x, params = build_model(small_graph, flavor)
     out = model.apply(params, x)

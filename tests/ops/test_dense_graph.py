@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from anemoi_models_tpu.graphs import build_enc_proc_dec_graph
-from anemoi_models_tpu.graphs.partition import dense_neighbor_table
+from anemoi_models_tpu.graphs.partition import bucketed_neighbor_tables, dense_neighbor_table
 from anemoi_models_tpu.layers.conv import GraphConv, graph_transformer_conv
 from anemoi_models_tpu.ops.dense_graph import gather_edges, masked_neighbor_sum
 from anemoi_models_tpu.ops.segment import segment_sum
@@ -15,6 +15,24 @@ from anemoi_models_tpu.ops.segment import segment_sum
 @pytest.fixture(scope="module")
 def graph():
     return build_enc_proc_dec_graph(grid_lat=6, mesh_refinements=1)
+
+
+def _jnp_tables(edge_index, num_dst):
+    buckets, reassemble = bucketed_neighbor_tables(edge_index, num_dst)
+    return [tuple(jnp.asarray(a) for a in b) for b in buckets], jnp.asarray(reassemble)
+
+
+def test_bucketed_tables_cover_all_edges(graph):
+    es = graph[("data", "to", "hidden")]
+    n = graph["hidden"].num_nodes
+    buckets, reassemble = bucketed_neighbor_tables(es.edge_index, n)
+    total = sum(int(b[3].sum()) for b in buckets)
+    assert total == es.num_edges
+    assert sum(len(b[0]) for b in buckets) == n
+    # per-bucket caps are tight: every cap <= 2x that bucket's max degree
+    for node_ids, edge_ids, src_ids, mask in buckets:
+        degs = mask.sum(1)
+        assert degs.max() <= mask.shape[1]
 
 
 def test_dense_neighbor_table_roundtrip(graph):
@@ -50,7 +68,7 @@ def test_graph_transformer_conv_dense_matches_segment(graph):
     e = jnp.asarray(rng.randn(2, es.num_edges, h, d), jnp.float32)
     ei = jnp.asarray(es.edge_index)
     ref = graph_transformer_conv(q, k, v, e, ei, n)
-    tables = tuple(jnp.asarray(t) for t in dense_neighbor_table(es.edge_index, n))
+    tables = _jnp_tables(es.edge_index, n)
     dense = graph_transformer_conv(q, k, v, e, ei, n, tables=tables)
     np.testing.assert_allclose(np.asarray(dense), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
@@ -66,7 +84,7 @@ def test_graph_conv_dense_matches_segment(graph):
     ei = jnp.asarray(es.edge_index)
     params = conv.init(jax.random.key(0), (x_src, x_dst), e, ei, n_dst)
     ref, edges_ref = conv.apply(params, (x_src, x_dst), e, ei, n_dst)
-    tables = tuple(jnp.asarray(t) for t in dense_neighbor_table(es.edge_index, n_dst))
+    tables = _jnp_tables(es.edge_index, n_dst)
     dense, edges_dense = conv.apply(params, (x_src, x_dst), e, ei, n_dst, tables)
     np.testing.assert_allclose(np.asarray(dense), np.asarray(ref), atol=2e-5, rtol=1e-4)
     np.testing.assert_array_equal(np.asarray(edges_ref), np.asarray(edges_dense))
@@ -81,7 +99,7 @@ def test_dense_grad_matches_segment_grad(graph):
     k = jnp.asarray(rng.randn(1, n, h, d), jnp.float32)
     v = jnp.asarray(rng.randn(1, n, h, d), jnp.float32)
     ei = jnp.asarray(es.edge_index)
-    tables = tuple(jnp.asarray(t) for t in dense_neighbor_table(es.edge_index, n))
+    tables = _jnp_tables(es.edge_index, n)
 
     g_ref = jax.grad(lambda k_: jnp.sum(graph_transformer_conv(q, k_, v, None, ei, n) ** 2))(k)
     g_dense = jax.grad(

@@ -34,10 +34,11 @@ def main() -> None:
     refinements = int(os.environ.get("BENCH_REFINEMENTS", "5"))
     channels = int(os.environ.get("BENCH_CHANNELS", "256"))
     layers = int(os.environ.get("BENCH_LAYERS", "8"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    iters = int(os.environ.get("BENCH_ITERS", "2"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    mode = os.environ.get("BENCH_MODE", "forward")  # forward | train
 
-    model, x, _ = _build(
+    model, x, n_out = _build(
         grid_lat=grid_lat,
         mesh_refinements=refinements,
         num_channels=channels,
@@ -49,9 +50,32 @@ def main() -> None:
     params = jax.jit(model.init)(jax.random.key(0), x)
 
     def make_chain(k):
-        # k forwards unrolled in ONE program, each folded back into the input
+        # k steps unrolled in ONE program, each folded back into the input
         # through a numerically negligible (but not constant-foldable) term:
         # a true dependency chain that async runtimes cannot overlap or elide
+        if mode == "train":
+            import jax.numpy as jnp
+            import optax
+
+            from anemoi_models_tpu.training import make_train_step
+            from anemoi_models_tpu.training.step import TrainState
+
+            opt = optax.adam(1e-4)
+            _, train_step = make_train_step(model, opt)
+            y_t = jnp.zeros((x.shape[0], x.shape[2], x.shape[3], n_out), jnp.float32)
+
+            @jax.jit
+            def run(params, x):
+                state = TrainState(
+                    params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32)
+                )
+                for _ in range(k):
+                    state, loss = train_step(state, x, y_t)
+                    x = x + (loss * 1e-30).astype(x.dtype)
+                return x
+
+            return run
+
         @jax.jit
         def run(params, x):
             for _ in range(k):
@@ -83,7 +107,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"enc-proc-dec fwd grid-points/s/chip (O96-class: grid={n_grid}, "
+                "metric": f"enc-proc-dec {'train-step' if mode == 'train' else 'fwd'} "
+                f"grid-points/s/chip (O96-class: grid={n_grid}, "
                 f"mesh_r{refinements}, C={channels}, L={layers}, {dtype})",
                 "value": round(gps, 1),
                 "unit": "grid-points/s",

@@ -1,0 +1,91 @@
+"""Sequence-parallel sliding-window attention via halo exchange.
+
+The reference handles long sequences with Ulysses-style head↔sequence
+all-to-alls around full attention (``distributed/transformer.py:21-130``).
+For *windowed* attention that is wasteful: each query only needs keys within
+±w positions, so a sequence-sharded layout needs just a ±w halo of k/v from
+the ring neighbors — two ``ppermute`` sends of O(w) payload instead of
+all-to-alls of O(N). This is SURVEY.md §5's "TPU-native answer" to the
+reference's long-context machinery.
+
+Requires: N divisible by the model-axis size, and window_size <= shard
+length. Output is bitwise-equivalent to global windowed attention up to
+reduction order.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+__all__ = ["halo_window_attention"]
+
+
+def _local_window_attention(q, k_ext, v_ext, window: int, n_total: int, shard_len: int, axis: str):
+    """Windowed attention of local queries against halo-extended keys.
+
+    q (B, H, n_loc, D); k_ext/v_ext (B, H, n_loc + 2w, D) laid out as
+    [left halo | local | right halo]. Runs inside shard_map.
+    """
+    idx = jax.lax.axis_index(axis)
+    off = idx * shard_len
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k_ext, preferred_element_type=jnp.float32) * scale
+    n_loc = q.shape[-2]
+    qpos = off + jnp.arange(n_loc)[:, None]
+    kpos = off - window + jnp.arange(n_loc + 2 * window)[None, :]
+    mask = (jnp.abs(qpos - kpos) <= window) & (kpos >= 0) & (kpos < n_total)
+    s = jnp.where(mask, s, -1e30)
+    w = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", w.astype(v_ext.dtype), v_ext)
+
+
+def halo_window_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    window_size: int,
+    mesh: Mesh,
+    axis: str = "model",
+) -> jnp.ndarray:
+    """Windowed attention over (B, H, N, D) with N sharded on ``axis``.
+
+    Communication: two ppermute halo sends of width ``window_size`` per
+    k and v — O(w) payload on the ICI ring.
+    """
+    n = q.shape[-2]
+    size = mesh.shape[axis]
+    assert n % size == 0, f"sequence ({n}) must divide the {axis} axis ({size})"
+    shard_len = n // size
+    assert window_size <= shard_len, (
+        f"window ({window_size}) must fit in one shard ({shard_len}); "
+        "use more halo hops or fewer shards otherwise"
+    )
+    w = window_size
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None, axis, None),) * 3,
+        out_specs=P(None, None, axis, None),
+    )
+    def run(q_blk, k_blk, v_blk):
+        nshards = mesh.shape[axis]
+        fwd = [(i, (i + 1) % nshards) for i in range(nshards)]
+        bwd = [(i, (i - 1) % nshards) for i in range(nshards)]
+
+        def halo(t):
+            # left halo: my left neighbor's last w rows  -> neighbor sends forward
+            left = jax.lax.ppermute(t[..., -w:, :], axis, fwd)
+            # right halo: my right neighbor's first w rows -> neighbor sends backward
+            right = jax.lax.ppermute(t[..., :w, :], axis, bwd)
+            return jnp.concatenate([left, t, right], axis=-2)
+
+        return _local_window_attention(q_blk, halo(k_blk), halo(v_blk), w, n, shard_len, axis)
+
+    return run(q, k, v)

@@ -197,15 +197,20 @@ class _GraphTransformerBase(nn.Module):
         t = t.reshape(b, n, self.num_heads, self.out_channels_conv)
         return constrain(t, ("data", None, "model", None))
 
-    def _qkve(self, x_q: jnp.ndarray, x_kv: jnp.ndarray, edge_attr: jnp.ndarray):
+    def _edge_dense(self) -> nn.Dense:
         width = self.num_heads * self.out_channels_conv
-        query = nn.Dense(width, dtype=self.dtype, name="lin_query")(x_q)
-        key = nn.Dense(width, dtype=self.dtype, name="lin_key")(x_kv)
-        value = nn.Dense(width, dtype=self.dtype, name="lin_value")(x_kv)
-        edges = nn.Dense(width, dtype=self.dtype, name="lin_edge")(edge_attr)
-        return query, key, value, edges
+        return nn.Dense(width, dtype=self.dtype, name="lin_edge")
 
-    def _conv_chunked(self, query, key, value, edges, edge_index, num_dst, num_chunks, tables=None):
+    def _edge_transform(self, lin_edge: nn.Dense):
+        """Project raw gathered edge attrs (..., cap, A) -> (..., cap, H, D)."""
+
+        def transform(e_raw):
+            e = lin_edge(e_raw)
+            return e.reshape(*e.shape[:-1], self.num_heads, self.out_channels_conv)
+
+        return transform
+
+    def _conv_chunked(self, query, key, value, edges, edge_index, num_dst, num_chunks, tables=None, edge_transform=None):
         """Edge-chunked per-edge attention. Chunking splits the (CSR-sorted)
         edge set, so per-destination softmax normalization must span chunks:
         compute unnormalized exp-weighted sums + normalizers per chunk and
@@ -215,7 +220,9 @@ class _GraphTransformerBase(nn.Module):
         live memory is already bounded by the padded degree).
         """
         if tables is not None or num_chunks <= 1:
-            return graph_transformer_conv(query, key, value, edges, edge_index, num_dst, tables)
+            return graph_transformer_conv(
+                query, key, value, edges, edge_index, num_dst, tables, edge_transform
+            )
         # Flash-style two-pass over edge chunks: pass 1 accumulates the
         # per-destination max logit, pass 2 the exp-weighted sums. Correct
         # softmax across chunk boundaries at O(E/num_chunks) live memory.
@@ -289,12 +296,23 @@ class GraphTransformerProcessorBlock(_GraphTransformerBase):
         num_dst = num_dst or x.shape[-2]
         x_skip = x
         x = AutocastLayerNorm(name="layer_norm1")(x)
-        x_r = nn.Dense(self.num_heads * self.out_channels_conv, use_bias=self.bias, dtype=self.dtype, name="lin_self")(x)
-        query, key, value, edges = self._qkve(x, x, edge_attr)
-        query, key, value, edges = map(self._heads, (query, key, value, edges))
+        width = self.num_heads * self.out_channels_conv
+        # one fused matmul for query/key/value/self (all project the same x)
+        qkvs = nn.Dense(4 * width, use_bias=self.bias, dtype=self.dtype, name="lin_qkvs")(x)
+        query, key, value, x_r = jnp.split(qkvs, 4, axis=-1)
+        lin_edge = self._edge_dense()
+        if tables is not None:
+            query, key, value = map(self._heads, (query, key, value))
+            edges = edge_attr  # raw; projected per bucket after the narrow gather
+        else:
+            edges = lin_edge(edge_attr)
+            query, key, value, edges = map(self._heads, (query, key, value, edges))
 
         num_chunks = self.num_chunks if not deterministic else max(self.num_chunks, NUM_CHUNKS_INFERENCE)
-        out = self._conv_chunked(query, key, value, edges, edge_index, num_dst, num_chunks, tables)
+        out = self._conv_chunked(
+            query, key, value, edges, edge_index, num_dst, num_chunks, tables,
+            edge_transform=self._edge_transform(lin_edge) if tables is not None else None,
+        )
         b, n = out.shape[0], out.shape[1]
         out = constrain(out, ("data", None, "model", None)).reshape(b, n, self.out_channels)
         out = constrain(out, ("data", "model", None))
@@ -325,12 +343,25 @@ class GraphTransformerMapperBlock(_GraphTransformerBase):
         num_dst = num_dst or x[1].shape[-2]
         x_src = AutocastLayerNorm(name="layer_norm1")(x[0])
         x_dst = AutocastLayerNorm(name="layer_norm2")(x[1])
-        x_r = nn.Dense(self.num_heads * self.out_channels_conv, use_bias=self.bias, dtype=self.dtype, name="lin_self")(x_dst)
-        query, key, value, edges = self._qkve(x_dst, x_src, edge_attr)
-        query, key, value, edges = map(self._heads, (query, key, value, edges))
+        width = self.num_heads * self.out_channels_conv
+        # fused matmuls: [query|self] from dst, [key|value] from src
+        qs = nn.Dense(2 * width, use_bias=self.bias, dtype=self.dtype, name="lin_qs")(x_dst)
+        query, x_r = jnp.split(qs, 2, axis=-1)
+        kv = nn.Dense(2 * width, dtype=self.dtype, name="lin_kv")(x_src)
+        key, value = jnp.split(kv, 2, axis=-1)
+        lin_edge = self._edge_dense()
+        if tables is not None:
+            query, key, value = map(self._heads, (query, key, value))
+            edges = edge_attr
+        else:
+            edges = lin_edge(edge_attr)
+            query, key, value, edges = map(self._heads, (query, key, value, edges))
 
         num_chunks = self.num_chunks if not deterministic else max(self.num_chunks, NUM_CHUNKS_INFERENCE)
-        out = self._conv_chunked(query, key, value, edges, edge_index, num_dst, num_chunks, tables)
+        out = self._conv_chunked(
+            query, key, value, edges, edge_index, num_dst, num_chunks, tables,
+            edge_transform=self._edge_transform(lin_edge) if tables is not None else None,
+        )
         b = out.shape[0]
         out = constrain(out, ("data", None, "model", None)).reshape(b, num_dst, self.out_channels)
         out = constrain(out, ("data", "model", None))

@@ -84,6 +84,7 @@ def graph_transformer_conv(
     edge_index: jnp.ndarray,
     num_dst: Optional[int] = None,
     tables=None,
+    edge_transform=None,
 ) -> jnp.ndarray:
     """Per-edge multi-head attention restricted to graph edges.
 
@@ -95,7 +96,9 @@ def graph_transformer_conv(
     """
     if tables is not None:
         buckets, reassemble = tables
-        return bucketed_edge_attention(query, key, value, edge_attr, buckets, reassemble)
+        return bucketed_edge_attention(
+            query, key, value, edge_attr, buckets, reassemble, edge_transform
+        )
     if num_dst is None:
         num_dst = query.shape[-3]
     out_channels = query.shape[-1]

@@ -95,25 +95,43 @@ def bucketed_edge_attention(
     edge_attr,
     buckets,
     reassemble: jnp.ndarray,
+    edge_transform=None,
 ) -> jnp.ndarray:
     """Per-edge attention over degree-bucketed tables.
 
-    query (B, N, H, D) [destinations], key/value (B, Ns, H, D), edge_attr
-    (B, E, H, D) or None. Equivalent to :func:`dense_edge_attention` but each
-    degree bucket is padded only to its own cap.
+    query (B, N, H, D) [destinations], key/value (B, Ns, H, D). Equivalent to
+    :func:`dense_edge_attention` but each degree bucket is padded only to its
+    own cap.
+
+    ``edge_attr`` is either (B, E, H, D) projected edge features, or — when
+    ``edge_transform`` is given — a *raw* (B, E, A) attribute tensor that is
+    gathered narrow (A wide, cheap) and projected per bucket by
+    ``edge_transform: (..., cap, A) -> (..., cap, H, D)``. Projecting after
+    the gather keeps the E-wide projected tensor out of HBM entirely.
     """
     outs = []
     for node_ids, edge_ids, src_ids, mask in buckets:
         q_b = jnp.take(query, node_ids, axis=-3)  # (B, nb, H, D)
-        out = dense_edge_attention(
-            q_b,
-            key,
-            value,
-            edge_attr,
-            src_ids,
-            edge_ids,
-            mask,
-        )
-        outs.append(out)
+        k_n = jnp.take(key, src_ids, axis=-3)  # (B, nb, cap, H, D)
+        v_n = jnp.take(value, src_ids, axis=-3)
+        if edge_attr is not None:
+            if edge_transform is not None:
+                e_n = edge_transform(jnp.take(edge_attr, edge_ids, axis=-2))
+            else:
+                e_n = jnp.take(edge_attr, edge_ids, axis=-3)
+            k_n = k_n + e_n
+            v_n = v_n + e_n
+
+        d = q_b.shape[-1]
+        scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32)).astype(q_b.dtype)
+        logits = (q_b[..., :, None, :, :] * k_n).sum(-1).astype(jnp.float32) * scale  # (B, nb, cap, H)
+        logits = jnp.where(mask[..., None], logits, -jnp.inf)
+        m = jnp.max(logits, axis=-2, keepdims=True)
+        m = jnp.where(jnp.isfinite(m), m, 0.0)
+        w = jnp.exp(logits - m)
+        w = jnp.where(mask[..., None], w, 0.0)
+        denom = jnp.maximum(w.sum(axis=-2, keepdims=True), 1e-16)
+        alpha = (w / denom).astype(value.dtype)
+        outs.append((v_n * alpha[..., None]).sum(axis=-3))
     cat = jnp.concatenate(outs, axis=-3)
     return jnp.take(cat, reassemble, axis=-3)

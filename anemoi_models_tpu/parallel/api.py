@@ -27,7 +27,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-__all__ = ["set_mesh", "get_mesh", "use_mesh", "constrain", "make_mesh", "batch_sharding"]
+__all__ = ["set_mesh", "get_mesh", "use_mesh", "constrain", "make_mesh", "make_hybrid_mesh", "batch_sharding"]
 
 _MESH: Optional[Mesh] = None
 
@@ -93,3 +93,26 @@ def constrain(x: jax.Array, spec: Sequence[Optional[str]]) -> jax.Array:
 def batch_sharding(x_ndim: int, batch_axis: int = 0) -> Sequence[Optional[str]]:
     """Spec sharding only the batch axis on "data"."""
     return tuple("data" if i == batch_axis else None for i in range(x_ndim))
+
+
+def make_hybrid_mesh(
+    dcn_data: int,
+    ici_data: int = 1,
+    model: int = 1,
+) -> Mesh:
+    """Multi-host mesh: the data axis spans DCN (slices), the model axis
+    stays inside an ICI domain — the reference's intent of one model
+    instance per tightly-coupled group (SURVEY.md §2.3) at pod scale.
+
+    Uses ``mesh_utils.create_hybrid_device_mesh`` so device order respects
+    the physical DCN/ICI topology; the two data factors are flattened into
+    one "data" axis.
+    """
+    from jax.experimental import mesh_utils
+
+    devices = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(ici_data, model),
+        dcn_mesh_shape=(dcn_data, 1),
+    )
+    devices = devices.reshape(dcn_data * ici_data, model)
+    return Mesh(devices, axis_names=("data", "model"))

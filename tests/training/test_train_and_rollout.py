@@ -60,3 +60,23 @@ def test_rollout(small_graph):
         np.asarray(preds[-1][0, 0, :, prog_out]),
         atol=1e-6,
     )
+
+
+def test_make_optimizer_and_ema(small_graph):
+    from anemoi_models_tpu.training import ema_update, make_optimizer
+
+    _, di, model, x = build(small_graph)
+    y = jnp.zeros((1, 1, x.shape[3], 4), jnp.float32)
+    opt = make_optimizer(1e-2, warmup_steps=2, total_steps=10, clip_norm=1.0)
+    init_state, train_step = make_train_step(model, opt)
+    state = init_state(jax.random.key(0), x)
+    ema = state.params
+    step = jax.jit(train_step)
+    for _ in range(3):
+        state, loss = step(state, x, y)
+        ema = jax.jit(ema_update)(ema, state.params)
+    assert np.isfinite(float(loss))
+    # EMA lags behind live params
+    p_live = jax.tree_util.tree_leaves(state.params)[0]
+    p_ema = jax.tree_util.tree_leaves(ema)[0]
+    assert not np.allclose(np.asarray(p_live), np.asarray(p_ema))

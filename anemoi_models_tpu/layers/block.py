@@ -13,7 +13,7 @@ at the processor level.
 from __future__ import annotations
 
 import os
-from typing import Optional, Union
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

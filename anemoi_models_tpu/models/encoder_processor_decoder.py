@@ -13,7 +13,7 @@ merged into one leading axis internally (explicit dim, not the reference's
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ chains, optional per-level processors, and skip connections on the way up.
 
 from __future__ import annotations
 
-from typing import Any
+
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ reduction order.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,10 @@ from anemoi_models_tpu.graphs.container import EdgeSet, HeteroGraph, NodeSet
 
 __all__ = [
     "latlon_grid_nodes",
+    "octahedral_grid_nodes",
     "icosahedral_nodes",
+    "morton_order",
+    "reorder_nodes",
     "knn_edges",
     "cutoff_edges",
     "multiscale_edges",
@@ -56,6 +59,73 @@ def latlon_grid_nodes(num_lat: int, num_lon: int | None = None) -> NodeSet:
     weights = np.cos(grid_lat.ravel())
     weights = weights / weights.mean()
     return NodeSet(coords=coords, attrs={"area_weight": weights[:, None].astype(np.float32)})
+
+
+def octahedral_grid_nodes(resolution: int) -> NodeSet:
+    """Octahedral reduced Gaussian grid O<resolution> (ECMWF-style).
+
+    ``2 * resolution`` latitude rows; the row nearest each pole has 20
+    points, growing by 4 per row toward the equator — so point density is
+    near-uniform on the sphere (O96 = 40,320 points), unlike the equal-angle
+    lat/lon grid whose polar rows over-sample longitude. Row latitudes use
+    the uniform-area approximation of Gaussian latitudes.
+    """
+    nrows = 2 * resolution
+    # uniform-in-sin(lat) row centers approximate Gaussian latitudes
+    sinlats = np.linspace(1, -1, nrows + 1)
+    sinlats = 0.5 * (sinlats[:-1] + sinlats[1:])
+    lats = np.arcsin(sinlats)
+
+    rows_pts = []
+    for i in range(nrows):
+        # distance from nearer pole, 0-indexed
+        k = i if i < resolution else nrows - 1 - i
+        rows_pts.append(20 + 4 * k)
+
+    coords = []
+    weights = []
+    for lat, npts in zip(lats, rows_pts):
+        lons = np.linspace(-np.pi, np.pi, npts, endpoint=False)
+        coords.append(np.stack([np.full(npts, lat), lons], axis=-1))
+        weights.append(np.full(npts, 1.0 / npts))
+    coords = np.concatenate(coords).astype(np.float64)
+    w = np.concatenate(weights)
+    w = w / w.mean()
+    return NodeSet(coords=coords, attrs={"area_weight": w[:, None].astype(np.float32)})
+
+
+def morton_order(coords: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Spatial (Morton/Z-curve) ordering permutation for (lat, lon) nodes.
+
+    Icosahedral subdivision emits vertices in refinement order (coarse
+    prefix, then midpoints) — spatially incoherent, which makes neighbor
+    gathers stride all over HBM. Reordering nodes along a Z-curve makes a
+    node's 1-hop neighborhood nearly contiguous, so the dense-table gathers
+    hit coherent HBM bursts.
+    """
+    lat = ((coords[:, 0] + np.pi / 2) / np.pi * ((1 << bits) - 1)).astype(np.uint64)
+    lon = ((coords[:, 1] + np.pi) / (2 * np.pi) * ((1 << bits) - 1)).astype(np.uint64)
+
+    def spread(v: np.ndarray) -> np.ndarray:
+        v = v & np.uint64(0xFFFF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+        return v
+
+    key = (spread(lat) << np.uint64(1)) | spread(lon)
+    return np.argsort(key, kind="stable")
+
+
+def reorder_nodes(nodes: NodeSet, perm: np.ndarray) -> tuple[NodeSet, np.ndarray]:
+    """Apply a node permutation; returns (new nodes, old→new index map)."""
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return (
+        NodeSet(coords=nodes.coords[perm], attrs={k: v[perm] for k, v in nodes.attrs.items()}),
+        inv,
+    )
 
 
 def _icosahedron() -> tuple[np.ndarray, np.ndarray]:
@@ -186,18 +256,30 @@ def edge_attributes(src: NodeSet, dst: NodeSet, edge_index: np.ndarray) -> dict[
 def build_enc_proc_dec_graph(
     *,
     grid_lat: int = 32,
+    grid: str = "latlon",
     mesh_refinements: int = 3,
     encoder_cutoff_factor: float = 1.6,
     decoder_knn: int = 3,
     data_name: str = "data",
     hidden_name: str = "hidden",
 ) -> HeteroGraph:
-    """Build the canonical AIFS-style graph: lat/lon data grid + icosahedral
-    hidden mesh, cutoff encoder edges, multi-scale processor edges, knn
-    decoder edges. Edge sets come out CSR-sorted by destination.
+    """Build the canonical AIFS-style graph: data grid + icosahedral hidden
+    mesh, cutoff encoder edges, multi-scale processor edges, knn decoder
+    edges. Edge sets come out CSR-sorted by destination.
+
+    ``grid``: "latlon" (equal-angle, ``grid_lat`` rows) or "octahedral"
+    (reduced Gaussian O<grid_lat> — near-uniform density, no polar
+    in-degree skew).
     """
-    data_nodes = latlon_grid_nodes(grid_lat)
+    if grid == "octahedral":
+        data_nodes = octahedral_grid_nodes(grid_lat)
+    else:
+        data_nodes = latlon_grid_nodes(grid_lat)
     hidden_nodes, face_levels = icosahedral_nodes(mesh_refinements)
+    # spatial (Z-curve) renumbering of mesh nodes for gather locality
+    perm = morton_order(hidden_nodes.coords)
+    hidden_nodes, old_to_new = reorder_nodes(hidden_nodes, perm)
+    face_levels = [old_to_new[f] for f in face_levels]
 
     # encoder: every data point feeds the hidden nodes within a cutoff radius
     # proportional to the hidden mesh's resolution

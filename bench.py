@@ -37,6 +37,7 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ITERS", "2"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     mode = os.environ.get("BENCH_MODE", "forward")  # forward | train
+    grid = os.environ.get("BENCH_GRID", "octahedral")  # octahedral (true O96) | latlon
 
     model, x, n_out = _build(
         grid_lat=grid_lat,
@@ -44,6 +45,7 @@ def main() -> None:
         num_channels=channels,
         num_layers=layers,
         dtype=dtype,
+        grid=grid,
     )
     n_grid = x.shape[3]
 
@@ -108,8 +110,8 @@ def main() -> None:
         json.dumps(
             {
                 "metric": f"enc-proc-dec {'train-step' if mode == 'train' else 'fwd'} "
-                f"grid-points/s/chip (O96-class: grid={n_grid}, "
-                f"mesh_r{refinements}, C={channels}, L={layers}, {dtype})",
+                f"grid-points/s/chip ({'O' + str(grid_lat) if grid == 'octahedral' else 'latlon'}"
+                f" grid={n_grid}, mesh_r{refinements}, C={channels}, L={layers}, {dtype})",
                 "value": round(gps, 1),
                 "unit": "grid-points/s",
                 "vs_baseline": round(gps / TARGET_GRID_POINTS_PER_S, 4),

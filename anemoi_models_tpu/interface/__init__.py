@@ -107,6 +107,37 @@ class AnemoiModelInterface:
         y_hat = self.model.apply(params, x)
         return self.post_processors(y_hat, in_place=False)
 
+    # -- checkpointing ---------------------------------------------------
+    def save(self, path: str, opt_state=None, step: Optional[int] = None) -> str:
+        """Persist params + processor state + metadata (orbax)."""
+        from anemoi_models_tpu.checkpoint import save_checkpoint
+
+        assert self.params is not None, "No params to save; call init_params() first."
+        return save_checkpoint(
+            path,
+            params=self.params,
+            processor_state=self.pre_processors.state_dict(),
+            opt_state=opt_state,
+            step=step,
+            metadata=self.metadata,
+            config=self.config.to_dict() if hasattr(self.config, "to_dict") else dict(self.config),
+            supporting_arrays=self.supporting_arrays,
+            run_id=self.id,
+        )
+
+    def load(self, path: str) -> dict:
+        """Restore params + processor state; returns the full checkpoint dict."""
+        from anemoi_models_tpu.checkpoint import load_checkpoint
+
+        restored = load_checkpoint(path)
+        self.params = restored["params"]
+        if "processor_state" in restored:
+            self.pre_processors.load_state_dict(restored["processor_state"])
+            self.post_processors.load_state_dict(restored["processor_state"])
+        if restored.get("run_id"):
+            self.id = restored["run_id"]
+        return restored
+
     def make_predict_fn(self, donate: bool = False):
         """Return a jitted ``(params, batch) -> prediction`` closure.
 

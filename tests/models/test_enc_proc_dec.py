@@ -110,3 +110,29 @@ def test_interface_forward_equals_model_apply(small_graph):
     np.testing.assert_array_equal(
         np.asarray(iface.forward(x)), np.asarray(iface.model.apply(params, x))
     )
+
+
+def test_interface_save_load(small_graph, tmp_path):
+    from helpers_models import make_statistics
+
+    cfg = make_config("graphtransformer")
+    di = IndexCollection(cfg, dict(VARS))
+    iface = AnemoiModelInterface(
+        config=cfg, graph_data=small_graph, statistics=make_statistics(), data_indices=di,
+        metadata={"experiment": "save-load"},
+    )
+    iface.init_params(jax.random.key(0))
+    n_grid = small_graph["data"].num_nodes
+    batch = jnp.asarray(np.random.RandomState(2).rand(1, 2, n_grid, 4), jnp.float32)
+    out_before = iface.predict_step(batch)
+    path = iface.save(str(tmp_path / "ckpt"), step=3)
+
+    iface2 = AnemoiModelInterface(
+        config=cfg, graph_data=small_graph, statistics=make_statistics(), data_indices=di,
+        metadata={},
+    )
+    restored = iface2.load(path)
+    assert restored["step"] == 3
+    assert iface2.id == iface.id
+    out_after = iface2.predict_step(batch)
+    np.testing.assert_allclose(np.asarray(out_before), np.asarray(out_after), atol=1e-6)

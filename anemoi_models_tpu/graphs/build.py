@@ -311,6 +311,7 @@ def build_enc_proc_dec_graph(
 def build_hierarchical_graph(
     *,
     grid_lat: int = 32,
+    grid: str = "latlon",
     mesh_refinements: int = 3,
     num_levels: int = 2,
     encoder_cutoff_factor: float = 1.6,
@@ -329,14 +330,19 @@ def build_hierarchical_graph(
     (reference ``models/hierarchical.py:53-163``).
     """
     assert num_levels >= 1 and mesh_refinements - (num_levels - 1) >= 0
-    data_nodes = latlon_grid_nodes(grid_lat)
+    if grid == "octahedral":
+        data_nodes = octahedral_grid_nodes(grid_lat)
+    else:
+        data_nodes = latlon_grid_nodes(grid_lat)
     hidden_names = [f"{hidden_prefix}_{i + 1}" for i in range(num_levels)]
     level_nodes: list[NodeSet] = []
     level_faces: list[np.ndarray] = []
     for i in range(num_levels):
         ns, faces = icosahedral_nodes(mesh_refinements - i)
+        perm = morton_order(ns.coords)
+        ns, old_to_new = reorder_nodes(ns, perm)
         level_nodes.append(ns)
-        level_faces.append(faces[-1])
+        level_faces.append(old_to_new[faces[-1]])
 
     nodes = {data_name: data_nodes}
     edges: dict[tuple[str, str, str], EdgeSet] = {}

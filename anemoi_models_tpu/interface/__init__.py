@@ -107,6 +107,13 @@ class AnemoiModelInterface:
         y_hat = self.model.apply(params, x)
         return self.post_processors(y_hat, in_place=False)
 
+    def make_rollout_fn(self, n_steps: int):
+        """Jittable autoregressive rollout over the wrapped model
+        (``training.rollout.make_rollout_fn`` bound to this interface)."""
+        from anemoi_models_tpu.training import make_rollout_fn
+
+        return make_rollout_fn(self.model, self.data_indices, n_steps)
+
     # -- checkpointing ---------------------------------------------------
     def save(self, path: str, opt_state=None, step: Optional[int] = None) -> str:
         """Persist params + processor state + metadata (orbax)."""

@@ -136,3 +136,67 @@ def test_interface_save_load(small_graph, tmp_path):
     assert iface2.id == iface.id
     out_after = iface2.predict_step(batch)
     np.testing.assert_allclose(np.asarray(out_before), np.asarray(out_after), atol=1e-6)
+
+
+def test_ensemble_dimension(small_graph):
+    cfg = make_config("graphtransformer")
+    di = IndexCollection(cfg, dict(VARS))
+    model = AnemoiModelEncProcDec(model_config=cfg, data_indices=di, graph_data=small_graph)
+    n_grid = small_graph["data"].num_nodes
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 2, 3, n_grid, 4), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (2, 3, n_grid, 4)
+    # ensemble members with different inputs give different outputs
+    assert not np.allclose(np.asarray(out[:, 0]), np.asarray(out[:, 1]))
+
+
+def test_interface_with_imputer_jit(small_graph):
+    from helpers_models import make_statistics
+
+    cfg = make_config("gnn")
+    cfg.data.processors["imputer"] = {
+        "_target_": "anemoi.models.preprocessing.imputer.InputImputer",
+        "config": {"default": "none", "mean": ["t2m"]},
+    }
+    di = IndexCollection(cfg, dict(VARS))
+    iface = AnemoiModelInterface(
+        config=cfg, graph_data=small_graph, statistics=make_statistics(), data_indices=di
+    )
+    iface.init_params(jax.random.key(0))
+    n_grid = small_graph["data"].num_nodes
+    batch = np.random.RandomState(0).rand(1, 2, n_grid, 4).astype(np.float32)
+    batch[:, :, 7, 3] = np.nan  # t2m NaN at one grid point
+    batch = jnp.asarray(batch)
+    iface.fit_processors(batch)
+    fn = iface.make_predict_fn()
+    out = fn(iface.params, batch)
+    # the inverse imputer re-inserts NaN at the originally-missing output
+    # (reference imputer.py:153-173); everything else must be finite
+    t2m = di.model.output.name_to_index["t2m"]
+    assert jnp.isnan(out[0, 0, 7, t2m])
+    finite_mask = jnp.ones_like(out, bool).at[0, 0, 7, t2m].set(False)
+    assert jnp.isfinite(jnp.where(finite_mask, out, 0.0)).all()
+    # loss mask exposes the imputed location
+    imp = iface.pre_processors.processors["imputer"]
+    assert float(imp.loss_mask_training[7, t2m]) == 0.0
+
+
+def test_inference_chunking_env(small_graph, monkeypatch):
+    """ANEMOI_INFERENCE_NUM_CHUNKS controls edge chunking at inference
+    (reference block.py:39); chunked result must match unchunked."""
+    import anemoi_models_tpu.layers.block as block_mod
+
+    cfg = make_config("graphtransformer")
+    cfg.model.processor.graph_impl = "segment"  # chunking applies to the segment path
+    cfg.model.encoder.graph_impl = "segment"
+    cfg.model.decoder.graph_impl = "segment"
+    di = IndexCollection(cfg, dict(VARS))
+    model = AnemoiModelEncProcDec(model_config=cfg, data_indices=di, graph_data=small_graph)
+    n_grid = small_graph["data"].num_nodes
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 2, 1, n_grid, 4), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    ref = model.apply(params, x)
+    monkeypatch.setattr(block_mod, "NUM_CHUNKS_INFERENCE", 3)
+    chunked = model.apply(params, x)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(ref), atol=5e-4, rtol=1e-3)

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,6 +60,24 @@ def _tables(sub_graph: EdgeSet, num_dst: int, graph_impl: str):
     return buckets, jnp.asarray(reassemble)
 
 
+def _remat(module_class, remat_policy: str):
+    """Wrap a chunk class in nn.remat with the configured policy.
+
+    - "full": recompute everything in the backward (min memory, max FLOPs) —
+      the reference's torch-checkpoint behavior.
+    - "save_dots": save matmul outputs, recompute elementwise only
+      (XLA policy ``dots_with_no_batch_dims_saveable``) — much cheaper
+      backward at moderate extra memory.
+    - "none": no rematerialization.
+    """
+    if remat_policy == "none":
+        return module_class
+    policy = None
+    if remat_policy == "save_dots":
+        policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    return nn.remat(module_class, policy=policy)
+
+
 def _chunk_sizes(num_layers: int, num_chunks: int) -> int:
     assert num_layers % num_chunks == 0, (
         f"Number of processor layers ({num_layers}) has to be divisible by the number of "
@@ -81,13 +100,14 @@ class TransformerProcessor(nn.Module):
     mlp_hidden_ratio: int = 4
     dropout_p: float = 0.1
     attention_impl: str = "auto"
+    remat_policy: str = "full"
     deterministic: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, **kwargs) -> jnp.ndarray:
         chunk_size = _chunk_sizes(self.num_layers, self.num_chunks)
-        Chunk = nn.remat(TransformerProcessorChunk)
+        Chunk = _remat(TransformerProcessorChunk, self.remat_policy)
         for c in range(self.num_chunks):
             x = Chunk(
                 num_channels=self.num_channels,
@@ -120,6 +140,7 @@ class GNNProcessor(nn.Module):
     src_grid_size: int = 0
     dst_grid_size: int = 0
     graph_impl: str = "dense"
+    remat_policy: str = "full"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -135,7 +156,7 @@ class GNNProcessor(nn.Module):
         edge_index = jnp.asarray(edge_index_np)
         tables = _tables(self.sub_graph, x.shape[-2], self.graph_impl)
 
-        Chunk = nn.remat(GNNProcessorChunk)
+        Chunk = _remat(GNNProcessorChunk, self.remat_policy)
         for c in range(self.num_chunks):
             x, edge_attr = Chunk(
                 num_channels=self.num_channels,
@@ -165,6 +186,7 @@ class GraphTransformerProcessor(nn.Module):
     src_grid_size: int = 0
     dst_grid_size: int = 0
     graph_impl: str = "dense"
+    remat_policy: str = "full"
     deterministic: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -181,7 +203,7 @@ class GraphTransformerProcessor(nn.Module):
         edge_index = jnp.asarray(edge_index_np)
         tables = _tables(self.sub_graph, x.shape[-2], self.graph_impl)
 
-        Chunk = nn.remat(GraphTransformerProcessorChunk)
+        Chunk = _remat(GraphTransformerProcessorChunk, self.remat_policy)
         for c in range(self.num_chunks):
             x, edge_attr = Chunk(
                 num_channels=self.num_channels,

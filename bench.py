@@ -41,6 +41,7 @@ def main() -> None:
     # remote-compile path on the dev tunnel cannot reliably compile it within
     # the bench budget; set BENCH_GRID=octahedral for the true O96 workload.
     grid = os.environ.get("BENCH_GRID", "latlon")
+    remat = os.environ.get("BENCH_REMAT", "full")  # full | save_dots | none
 
     model, x, n_out = _build(
         grid_lat=grid_lat,
@@ -49,6 +50,7 @@ def main() -> None:
         num_layers=layers,
         dtype=dtype,
         grid=grid,
+        remat_policy=remat,
     )
     n_grid = x.shape[3]
 

@@ -1,3 +1,4 @@
+from anemoi_models_tpu.training.evaluate import evaluate_rollout, rollout_scores
 from anemoi_models_tpu.training.loss import WeightedMSELoss, weighted_mse
 from anemoi_models_tpu.training.optim import ema_update, make_optimizer
 from anemoi_models_tpu.training.rollout import make_rollout_fn
@@ -11,4 +12,6 @@ __all__ = [
     "make_rollout_fn",
     "make_optimizer",
     "ema_update",
+    "evaluate_rollout",
+    "rollout_scores",
 ]

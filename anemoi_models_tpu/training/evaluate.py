@@ -1,0 +1,92 @@
+"""Rollout evaluation: per-variable, per-lead-time skill scores.
+
+Infrastructure for the 72h-rollout-RMSE benchmark protocol (BASELINE.md):
+run the autoregressive rollout against held-out truth and report
+area-weighted RMSE (and anomaly correlation) per variable and lead time,
+plus the persistence baseline every forecast must beat.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anemoi_models_tpu.training.rollout import make_rollout_fn
+
+__all__ = ["rollout_scores", "evaluate_rollout"]
+
+
+def _wmean(x: jnp.ndarray, w: Optional[jnp.ndarray], axes) -> jnp.ndarray:
+    if w is None:
+        return x.mean(axes)
+    w = jnp.broadcast_to(w[..., None], x.shape)
+    return (x * w).sum(axes) / w.sum(axes)
+
+
+def rollout_scores(
+    preds: jnp.ndarray,
+    truth: jnp.ndarray,
+    node_weights: Optional[jnp.ndarray] = None,
+    climatology: Optional[jnp.ndarray] = None,
+) -> dict[str, np.ndarray]:
+    """Scores for rollout predictions vs truth.
+
+    preds/truth: (steps, batch, ensemble, grid, vars); node_weights: (grid,);
+    climatology: (grid, vars) for anomaly correlation. Returns per
+    (step, var) arrays: rmse, mae, and acc when climatology given.
+    """
+    err = (preds.astype(jnp.float32) - truth.astype(jnp.float32))
+    space_axes = (1, 2, 3)
+    out = {
+        "rmse": np.asarray(jnp.sqrt(_wmean(err**2, node_weights, space_axes))),
+        "mae": np.asarray(_wmean(jnp.abs(err), node_weights, space_axes)),
+    }
+    if climatology is not None:
+        pa = preds.astype(jnp.float32) - climatology
+        ta = truth.astype(jnp.float32) - climatology
+        num = _wmean(pa * ta, node_weights, space_axes)
+        den = jnp.sqrt(
+            _wmean(pa**2, node_weights, space_axes) * _wmean(ta**2, node_weights, space_axes)
+        )
+        out["acc"] = np.asarray(num / jnp.maximum(den, 1e-12))
+    return out
+
+
+def evaluate_rollout(
+    model: Any,
+    data_indices: Any,
+    params: Any,
+    x0: jnp.ndarray,
+    truth_inputs: jnp.ndarray,
+    node_weights: Optional[jnp.ndarray] = None,
+) -> dict[str, np.ndarray]:
+    """Roll the model forward against truth and score it vs persistence.
+
+    - ``x0``: (batch, multi_step, ensemble, grid, n_in) initial window.
+    - ``truth_inputs``: (steps, batch, ensemble, grid, n_in) future states at
+      the internal-model *input* width (forcings are read from it).
+    Returns rmse/mae per (step, prognostic var) for the model and for the
+    persistence forecast.
+    """
+    n_steps = truth_inputs.shape[0]
+    prog_in = np.asarray(data_indices.internal_model.input.prognostic)
+    prog_out = np.asarray(data_indices.internal_model.output.prognostic)
+    forcing_in = np.asarray(data_indices.internal_model.input.forcing)
+
+    forcings = truth_inputs[..., forcing_in] if forcing_in.size else None
+    rollout = jax.jit(make_rollout_fn(model, data_indices, n_steps))
+    _, preds = rollout(params, x0, forcings)
+
+    truth_prog = truth_inputs[..., prog_in]
+    model_scores = rollout_scores(preds[..., prog_out], truth_prog, node_weights)
+    persistence = jnp.broadcast_to(x0[:, -1][None][..., prog_in], truth_prog.shape)
+    persist_scores = rollout_scores(persistence, truth_prog, node_weights)
+    return {
+        "rmse": model_scores["rmse"],
+        "mae": model_scores["mae"],
+        "persistence_rmse": persist_scores["rmse"],
+        "skill_vs_persistence": 1.0 - model_scores["rmse"] / np.maximum(persist_scores["rmse"], 1e-12),
+    }

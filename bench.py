@@ -42,6 +42,7 @@ def main() -> None:
     # the bench budget; set BENCH_GRID=octahedral for the true O96 workload.
     grid = os.environ.get("BENCH_GRID", "latlon")
     remat = os.environ.get("BENCH_REMAT", "full")  # full | save_dots | none
+    flavor = os.environ.get("BENCH_FLAVOR", "graphtransformer")  # | gnn | transformer
 
     model, x, n_out = _build(
         grid_lat=grid_lat,
@@ -51,6 +52,7 @@ def main() -> None:
         dtype=dtype,
         grid=grid,
         remat_policy=remat,
+        flavor=flavor,
     )
     n_grid = x.shape[3]
 
@@ -114,7 +116,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"enc-proc-dec {'train-step' if mode == 'train' else 'fwd'} "
+                "metric": f"enc-proc-dec[{flavor}] {'train-step' if mode == 'train' else 'fwd'} "
                 f"grid-points/s/chip ({'O' + str(grid_lat) if grid == 'octahedral' else 'latlon'}"
                 f" grid={n_grid}, mesh_r{refinements}, C={channels}, L={layers}, {dtype})",
                 "value": round(gps, 1),

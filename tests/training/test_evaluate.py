@@ -1,0 +1,41 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anemoi_models_tpu.data_indices import IndexCollection
+from anemoi_models_tpu.models import AnemoiModelEncProcDec
+from anemoi_models_tpu.training.evaluate import evaluate_rollout, rollout_scores
+from helpers_models import VARS, make_config
+
+
+def test_rollout_scores_basic():
+    steps, b, e, g, v = 3, 1, 1, 10, 2
+    truth = jnp.zeros((steps, b, e, g, v))
+    preds = jnp.ones((steps, b, e, g, v)) * jnp.asarray([1.0, 2.0])
+    s = rollout_scores(preds, truth)
+    np.testing.assert_allclose(s["rmse"], np.tile([1.0, 2.0], (steps, 1)), atol=1e-6)
+    np.testing.assert_allclose(s["mae"], np.tile([1.0, 2.0], (steps, 1)), atol=1e-6)
+    # perfect forecast with climatology -> acc == 1
+    clim = jnp.zeros((g, v))
+    truth2 = jnp.asarray(np.random.RandomState(0).randn(steps, b, e, g, v))
+    s2 = rollout_scores(truth2, truth2, climatology=clim)
+    np.testing.assert_allclose(s2["acc"], 1.0, atol=1e-5)
+
+
+def test_evaluate_rollout_shapes_and_skill(small_graph):
+    cfg = make_config("graphtransformer", num_channels=8)
+    di = IndexCollection(cfg, dict(VARS))
+    model = AnemoiModelEncProcDec(model_config=cfg, data_indices=di, graph_data=small_graph)
+    n_grid = small_graph["data"].num_nodes
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.randn(1, 2, 1, n_grid, 4), jnp.float32)
+    params = model.init(jax.random.key(0), x0)
+    steps = 3
+    truth = jnp.asarray(rng.randn(steps, 1, 1, n_grid, 4), jnp.float32)
+    weights = jnp.asarray(small_graph["data"].attrs["area_weight"][:, 0])
+    scores = evaluate_rollout(model, di, params, x0, truth, node_weights=weights)
+    n_prog = len(di.internal_model.input.prognostic)
+    assert scores["rmse"].shape == (steps, n_prog)
+    assert scores["persistence_rmse"].shape == (steps, n_prog)
+    assert np.isfinite(scores["rmse"]).all()
+    assert np.isfinite(scores["skill_vs_persistence"]).all()

@@ -228,3 +228,16 @@ def test_gnn_backward_mapper(graph):
     out = mapper.apply(params, (x_hidden, x_data))
     assert out.shape == (BATCH, n_data, 7)
     check_grads(mapper, params, (x_hidden, x_data))
+
+
+def test_graphconv_block_chunked_matches_unchunked(graph, hidden_x):
+    es = graph[("hidden", "to", "hidden")]
+    e = jnp.asarray(np.random.randn(BATCH, es.num_edges, CH), jnp.float32)
+    ei = jnp.asarray(es.edge_index)
+    b1 = GraphConvProcessorBlock(in_channels=CH, out_channels=CH, num_chunks=1)
+    b3 = GraphConvProcessorBlock(in_channels=CH, out_channels=CH, num_chunks=3)
+    params = b1.init(jax.random.key(0), hidden_x, e, ei)
+    out1, edges1 = b1.apply(params, hidden_x, e, ei)
+    out3, edges3 = b3.apply(params, hidden_x, e, ei)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out3), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(edges1), np.asarray(edges3), atol=1e-5)

@@ -66,7 +66,15 @@ def dot_product_attention(
     attends keys within ±w positions).
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "reference"
+        backend = jax.default_backend()
+        if backend == "tpu":
+            impl = "pallas"
+        elif backend == "axon":
+            # tunneled dev TPU: Mosaic remote compiles are unreliably slow;
+            # the blockwise XLA path has the same O(N·w) memory profile
+            impl = "chunked"
+        else:
+            impl = "reference"
     if impl == "pallas":
         from anemoi_models_tpu.ops.pallas.flash_attention import flash_attention
 

@@ -204,7 +204,11 @@ def blockwise_attention(
         w = jax.nn.softmax(s, axis=-1)
         return jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), vs)
 
-    blocks = jax.lax.map(one_block, jnp.arange(nb))
+    if nb <= 64:
+        # unrolled: avoids lax.scan, which some runtimes execute poorly
+        blocks = jnp.stack([one_block(i) for i in range(nb)])
+    else:
+        blocks = jax.lax.map(one_block, jnp.arange(nb))
     out = jnp.moveaxis(blocks, 0, 2).reshape(b, h, npad, d)
     return out[:, :, :n]
 

@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from anemoi_models_tpu.ops.attention import dot_product_attention
-from anemoi_models_tpu.parallel.api import constrain
+from anemoi_models_tpu.parallel.api import constrain, get_mesh
 
 __all__ = ["MultiHeadSelfAttention"]
 
@@ -49,24 +49,37 @@ class MultiHeadSelfAttention(nn.Module):
             t.reshape(batch, seq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
             for t in (query, key, value)
         )
-        # Ulysses-style resharding, GSPMD edition: outside attention the
-        # sequence axis is model-sharded; during attention the head axis is.
-        # The sharding constraints below make XLA insert the two all-to-alls
-        # the reference hand-writes in shard_heads/shard_sequence
-        # (``distributed/transformer.py:21-130``).
-        query = constrain(query, ("data", "model", None, None))
-        key = constrain(key, ("data", "model", None, None))
-        value = constrain(value, ("data", "model", None, None))
+        mesh = get_mesh()
+        if self.attention_impl == "halo":
+            # sequence-parallel windowed attention: keep the sequence sharded
+            # and exchange only ±window halos of k/v over the ring
+            # (ops/ring_attention.py) — no all-to-alls at all.
+            from anemoi_models_tpu.ops.ring_attention import halo_window_attention
 
-        out = dot_product_attention(
-            query,
-            key,
-            value,
-            window_size=self.window_size,
-            is_causal=self.is_causal,
-            impl=self.attention_impl,
-        )
-        out = constrain(out, ("data", "model", None, None))
+            assert self.window_size is not None, "halo attention requires a window_size"
+            assert mesh is not None, "halo attention requires an active mesh"
+            out = halo_window_attention(
+                query, key, value, window_size=self.window_size, mesh=mesh
+            )
+        else:
+            # Ulysses-style resharding, GSPMD edition: outside attention the
+            # sequence axis is model-sharded; during attention the head axis
+            # is. The sharding constraints make XLA insert the two all-to-alls
+            # the reference hand-writes in shard_heads/shard_sequence
+            # (``distributed/transformer.py:21-130``).
+            query = constrain(query, ("data", "model", None, None))
+            key = constrain(key, ("data", "model", None, None))
+            value = constrain(value, ("data", "model", None, None))
+
+            out = dot_product_attention(
+                query,
+                key,
+                value,
+                window_size=self.window_size,
+                is_causal=self.is_causal,
+                impl=self.attention_impl,
+            )
+            out = constrain(out, ("data", "model", None, None))
         out = out.transpose(0, 2, 1, 3).reshape(batch, seq, self.embed_dim)
         out = constrain(out, ("data", "model", None))
         if self.dropout_p > 0.0:

@@ -72,3 +72,25 @@ def test_sharded_train_step_runs(small_graph):
     p0 = jax.tree_util.tree_leaves(state.params)[0]
     p1 = jax.tree_util.tree_leaves(state2.params)[0]
     assert not np.allclose(np.asarray(p0), np.asarray(p1)) or p0.size == 0
+
+
+def test_transformer_processor_halo_attention_matches_ulysses(small_graph):
+    """attention_impl="halo" (ring halo exchange) must equal the
+    constraint-based (Ulysses) path for windowed attention."""
+    from anemoi_models_tpu.layers import TransformerProcessor
+
+    n = 128  # divisible by 8 shards; window fits one shard
+    x = jnp.asarray(np.random.RandomState(0).randn(1, n, 16), jnp.float32)
+    kw = dict(num_layers=2, num_channels=16, num_chunks=1, num_heads=4,
+              window_size=8, dropout_p=0.0)
+    ref_proc = TransformerProcessor(attention_impl="reference", **kw)
+    halo_proc = TransformerProcessor(attention_impl="halo", **kw)
+    params = ref_proc.init(jax.random.key(0), x)
+    ref = ref_proc.apply(params, x)
+
+    mesh = make_mesh(data=1, model=8)
+    with use_mesh(mesh):
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, "model", None)))
+        ps = jax.device_put(params, NamedSharding(mesh, P()))
+        out = jax.jit(halo_proc.apply)(ps, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4, rtol=1e-3)

@@ -118,6 +118,7 @@ class HaloPartition:
     boundary_contrib: np.ndarray
     halo_select: np.ndarray
     halo_mask: np.ndarray
+    edge_ids: np.ndarray = None  # (S, E_pad) global edge ids per shard slot
 
     @property
     def halo_width(self) -> int:
@@ -134,6 +135,7 @@ def partition_1hop(edge_index: np.ndarray, num_nodes: int, num_shards: int) -> H
     # per-shard edge lists + halo node sets
     per_shard_edges: list[np.ndarray] = []
     per_shard_halo: list[np.ndarray] = []
+    per_shard_edge_ids: list[np.ndarray] = []
     for s in range(num_shards):
         lo, hi = s * nps, min((s + 1) * nps, num_nodes)
         sel = (dst >= lo) & (dst < hi)
@@ -141,6 +143,7 @@ def partition_1hop(edge_index: np.ndarray, num_nodes: int, num_shards: int) -> H
         remote = e_src[(e_src < lo) | (e_src >= hi)]
         per_shard_halo.append(np.unique(remote))
         per_shard_edges.append(np.stack([e_src, e_dst - lo], axis=1))
+        per_shard_edge_ids.append(np.nonzero(sel)[0])
 
     # boundary pool: nodes needed by any other shard, grouped by owner
     needed = np.unique(np.concatenate(per_shard_halo)) if per_shard_halo else np.empty(0, np.int64)
@@ -161,6 +164,7 @@ def partition_1hop(edge_index: np.ndarray, num_nodes: int, num_shards: int) -> H
     e_pad = max(max((len(e) for e in per_shard_edges), default=0), 1)
     local_edges = np.zeros((num_shards, e_pad, 2), dtype=np.int32)
     edge_mask = np.zeros((num_shards, e_pad), dtype=bool)
+    edge_ids = np.zeros((num_shards, e_pad), dtype=np.int64)
 
     for s in range(num_shards):
         lo = s * nps
@@ -179,6 +183,7 @@ def partition_1hop(edge_index: np.ndarray, num_nodes: int, num_shards: int) -> H
         local_edges[s, : len(e), 0] = src_ext
         local_edges[s, : len(e), 1] = e[:, 1]
         edge_mask[s, : len(e)] = True
+        edge_ids[s, : len(e)] = per_shard_edge_ids[s]
 
     return HaloPartition(
         num_shards=num_shards,
@@ -189,6 +194,7 @@ def partition_1hop(edge_index: np.ndarray, num_nodes: int, num_shards: int) -> H
         boundary_contrib=boundary_contrib,
         halo_select=halo_select,
         halo_mask=halo_mask,
+        edge_ids=edge_ids,
     )
 
 

@@ -1,0 +1,122 @@
+"""Full GNN message passing under 1-hop halo exchange (shard_map).
+
+Completes the multi-chip GNN story of ``parallel/halo.py``: not just the
+aggregation but the whole reference GraphConv body — message
+``mlp(cat[x_i, x_j, e]) + e`` then scatter-sum (reference
+``layers/conv.py:27-76``) — computed shard-locally on halo-extended features,
+with parameters passed replicated into the shard_map region. Communication
+per layer is one boundary-pool all-gather of O(boundary) payload, versus the
+reference's full-node all-gather (``layers/block.py:203``).
+
+Parameters are an explicit pytree (functional style) so this composes with
+any training loop; ``graph_conv_params``/``apply_edge_mlp`` mirror the MLP
+layout of ``layers/mlp.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from anemoi_models_tpu.graphs.partition import HaloPartition
+from anemoi_models_tpu.layers.utils import get_activation
+from anemoi_models_tpu.ops.segment import segment_sum
+from anemoi_models_tpu.parallel.halo import pad_nodes, unpad_nodes
+
+__all__ = ["graph_conv_params", "halo_graph_conv", "shard_edge_values"]
+
+
+def graph_conv_params(
+    rng: jax.Array, in_channels: int, out_channels: int, hidden: Optional[int] = None
+) -> dict:
+    """Edge-MLP params: Linear(3C -> H) -> act -> Linear(H -> H) -> act ->
+    Linear(H -> C) (the reference GraphConv edge MLP shape)."""
+    hidden = hidden or out_channels
+    k1, k2, k3 = jax.random.split(rng, 3)
+    init = jax.nn.initializers.lecun_normal()
+    return {
+        "w1": init(k1, (3 * in_channels, hidden)),
+        "b1": jnp.zeros(hidden),
+        "w2": init(k2, (hidden, hidden)),
+        "b2": jnp.zeros(hidden),
+        "w3": init(k3, (hidden, out_channels)),
+        "b3": jnp.zeros(out_channels),
+    }
+
+
+def apply_edge_mlp(params: dict, x: jnp.ndarray, activation: str = "SiLU") -> jnp.ndarray:
+    act = get_activation(activation)
+    x = act(x @ params["w1"] + params["b1"])
+    x = act(x @ params["w2"] + params["b2"])
+    return x @ params["w3"] + params["b3"]
+
+
+def halo_graph_conv(
+    mesh: Mesh,
+    part: HaloPartition,
+    params: dict,
+    x: jnp.ndarray,
+    edge_attr_sharded: jnp.ndarray,
+    activation: str = "SiLU",
+    axis: str = "model",
+) -> jnp.ndarray:
+    """One GraphConv aggregation under halo exchange.
+
+    - ``x``: (batch, num_nodes, C) node features (un-padded; padded inside).
+    - ``edge_attr_sharded``: (num_shards, E_pad, C) per-shard edge features in
+      the same order as ``part.local_edges``.
+    Returns (batch, num_nodes, C) aggregated messages (the conv output before
+    the node MLP/residual, plus new edge features are shard-local and
+    recomputed next layer as in the reference).
+    """
+    bc = jnp.asarray(part.boundary_contrib)
+    hs = jnp.asarray(part.halo_select)
+    hm = jnp.asarray(part.halo_mask)
+    le = jnp.asarray(part.local_edges)
+    em = jnp.asarray(part.edge_mask)
+    x_pad = pad_nodes(x, part)
+
+    def local(x_blk, bc_blk, hs_blk, hm_blk, le_blk, em_blk, e_blk, p):
+        contrib = jnp.take(x_blk, bc_blk[0], axis=1)
+        pool = jax.lax.all_gather(contrib, axis, axis=1, tiled=True)
+        halo = jnp.take(pool, hs_blk[0], axis=1) * hm_blk[0][None, :, None].astype(x_blk.dtype)
+        x_ext = jnp.concatenate([x_blk, halo], axis=1)
+
+        edges = le_blk[0]
+        x_j = jnp.take(x_ext, edges[:, 0], axis=1)  # source features (B, E_pad, C)
+        x_i = jnp.take(x_blk, edges[:, 1], axis=1)  # destination features
+        e = jnp.broadcast_to(e_blk[0][None], x_i.shape)
+        msg = apply_edge_mlp(p, jnp.concatenate([x_i, x_j, e], axis=-1), activation) + e
+        msg = msg * em_blk[0][None, :, None].astype(msg.dtype)
+        return segment_sum(msg, edges[:, 1], part.nodes_per_shard, indices_are_sorted=False)
+
+    run = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis, None),
+            P(axis, None),
+            P(axis, None),
+            P(axis, None),
+            P(axis, None, None),
+            P(axis, None),
+            P(axis, None, None),
+            P(),  # params replicated
+        ),
+        out_specs=P(None, axis, None),
+    )
+    out = run(x_pad, bc, hs, hm, le, em, edge_attr_sharded, params)
+    return unpad_nodes(out, part)
+
+
+def shard_edge_values(values: jnp.ndarray, part: HaloPartition) -> jnp.ndarray:
+    """Rearrange global CSR-ordered per-edge values (..., E, C) into the
+    (num_shards, E_pad, C) layout matching ``part.local_edges`` (gather by
+    the partition's global edge ids; padded slots carry edge 0 and are
+    masked inside the kernel)."""
+    ids = jnp.asarray(part.edge_ids)  # (S, E_pad)
+    return jnp.take(values, ids, axis=-2)

@@ -31,7 +31,7 @@ from anemoi_models_tpu.layers.chunk import (
 from anemoi_models_tpu.layers.graph import TrainableTensor
 from anemoi_models_tpu.parallel.api import constrain
 
-__all__ = ["TransformerProcessor", "GNNProcessor", "GraphTransformerProcessor", "register_edges"]
+__all__ = ["TransformerProcessor", "GNNProcessor", "GraphTransformerProcessor", "HaloGNNProcessor", "register_edges"]
 
 
 def register_edges(
@@ -216,4 +216,104 @@ class GraphTransformerProcessor(nn.Module):
                 dtype=self.dtype,
                 name=f"proc_{c}",
             )(x, edge_attr, edge_index, tables)
+        return constrain(x, ("data", "model", None))
+
+
+class HaloGNNProcessor(nn.Module):
+    """Domain-decomposed GNN processor: per-layer 1-hop halo exchange.
+
+    Config-selectable alternative to :class:`GNNProcessor` for multi-chip
+    runs: node rows are contiguously sharded over the ``model`` mesh axis and
+    each message-passing layer exchanges only the boundary pool
+    (``parallel/halo_conv.py``) instead of relying on GSPMD-inserted
+    full gathers. Falls back to the regular dense-table path when no mesh is
+    active, so the same config runs single-chip.
+
+    The edge-MLP/node-MLP layout matches :class:`GNNProcessor`'s blocks
+    (reference ``layers/block.py:170-223``); edge features are embedded once
+    (first layer) and kept shard-local.
+    """
+
+    num_layers: int
+    trainable_size: int = 8
+    num_channels: int = 128
+    num_chunks: int = 2  # accepted for config parity; remat applies per layer
+    mlp_extra_layers: int = 0
+    activation: str = "SiLU"
+    cpu_offload: bool = False
+    sub_graph: Optional[EdgeSet] = None
+    sub_graph_edge_attributes: Optional[tuple[str, ...]] = ("edge_length", "edge_dirs")
+    src_grid_size: int = 0
+    dst_grid_size: int = 0
+    num_shards: Optional[int] = None  # defaults to the mesh's model-axis size
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, **kwargs) -> jnp.ndarray:
+        from anemoi_models_tpu.graphs.partition import partition_1hop
+        from anemoi_models_tpu.layers.mlp import MLP
+        from anemoi_models_tpu.parallel.api import get_mesh
+        from anemoi_models_tpu.parallel.halo_conv import halo_graph_conv, shard_edge_values
+
+        mesh = get_mesh()
+        num_nodes = x.shape[-2]
+        edge_attr_np, edge_index_np, edge_dim = register_edges(
+            self.sub_graph, self.sub_graph_edge_attributes, self.trainable_size
+        )
+        batch_size = x.shape[0]
+        edge_attr = TrainableTensor(
+            tensor_size=edge_attr_np.shape[0], trainable_size=self.trainable_size, name="trainable"
+        )(jnp.asarray(edge_attr_np, dtype=self.dtype), batch_size)
+        edge_attr = MLP(
+            hidden_dim=self.num_channels,
+            out_features=self.num_channels,
+            n_extra_layers=self.mlp_extra_layers,
+            activation=self.activation,
+            dtype=self.dtype,
+            name="emb_edges",
+        )(edge_attr)
+
+        use_halo = mesh is not None and "model" in mesh.axis_names and mesh.shape["model"] > 1
+        if use_halo:
+            shards = self.num_shards or mesh.shape["model"]
+            part = partition_1hop(edge_index_np, num_nodes, shards)
+            # shard edge features into the per-shard layout (batch folded in)
+            edge_sharded = shard_edge_values(edge_attr[0], part)
+        else:
+            edge_index = jnp.asarray(edge_index_np)
+            tables = _tables(self.sub_graph, num_nodes, "dense")
+
+        for i in range(self.num_layers):
+            conv_params = {
+                "w1": self.param(f"conv_{i}_w1", nn.initializers.lecun_normal(), (3 * self.num_channels, self.num_channels), jnp.float32),
+                "b1": self.param(f"conv_{i}_b1", nn.initializers.zeros, (self.num_channels,), jnp.float32),
+                "w2": self.param(f"conv_{i}_w2", nn.initializers.lecun_normal(), (self.num_channels, self.num_channels), jnp.float32),
+                "b2": self.param(f"conv_{i}_b2", nn.initializers.zeros, (self.num_channels,), jnp.float32),
+                "w3": self.param(f"conv_{i}_w3", nn.initializers.lecun_normal(), (self.num_channels, self.num_channels), jnp.float32),
+                "b3": self.param(f"conv_{i}_b3", nn.initializers.zeros, (self.num_channels,), jnp.float32),
+            }
+            if use_halo:
+                agg = halo_graph_conv(
+                    mesh, part, conv_params, x, edge_sharded, activation=self.activation
+                )
+            else:
+                from anemoi_models_tpu.parallel.halo_conv import apply_edge_mlp
+
+                src, dst = edge_index
+                x_i = jnp.take(x, dst, axis=-2)
+                x_j = jnp.take(x, src, axis=-2)
+                msg = apply_edge_mlp(
+                    conv_params, jnp.concatenate([x_i, x_j, edge_attr], -1), self.activation
+                ) + edge_attr
+                from anemoi_models_tpu.ops.dense_graph import bucketed_neighbor_sum
+
+                agg = bucketed_neighbor_sum(msg, tables[0], tables[1])
+            x = MLP(
+                hidden_dim=self.num_channels,
+                out_features=self.num_channels,
+                n_extra_layers=self.mlp_extra_layers,
+                activation=self.activation,
+                dtype=self.dtype,
+                name=f"node_mlp_{i}",
+            )(jnp.concatenate([x, agg], axis=-1)) + x
         return constrain(x, ("data", "model", None))

@@ -65,3 +65,27 @@ def test_halo_graph_conv_grads_flow():
         assert jnp.isfinite(gleaf).all(), kp
         assert float(jnp.abs(gleaf).max()) > 0, kp
     assert jnp.isfinite(gx).all()
+
+
+def test_halo_gnn_processor_matches_single_device():
+    from anemoi_models_tpu.layers.processor import HaloGNNProcessor
+    from anemoi_models_tpu.parallel import use_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    g = build_enc_proc_dec_graph(grid_lat=6, mesh_refinements=2)
+    n = g["hidden"].num_nodes
+    proc = HaloGNNProcessor(
+        num_layers=2, num_channels=8, trainable_size=2,
+        sub_graph=g[("hidden", "to", "hidden")],
+    )
+    x = jnp.asarray(np.random.RandomState(0).randn(1, n, 8), jnp.float32)
+    params = proc.init(jax.random.key(0), x)  # no mesh -> dense fallback path
+    ref = proc.apply(params, x)
+
+    mesh = make_mesh(data=1, model=8)
+    with use_mesh(mesh):
+        # node count (162) is not divisible by 8; the processor pads and
+        # shards internally, so inputs arrive replicated
+        ps = jax.device_put(params, NamedSharding(mesh, P()))
+        out = jax.jit(proc.apply)(ps, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4, rtol=1e-3)

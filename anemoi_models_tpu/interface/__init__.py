@@ -114,6 +114,29 @@ class AnemoiModelInterface:
 
         return make_rollout_fn(self.model, self.data_indices, n_steps)
 
+    def predict_rollout(
+        self,
+        batch: jnp.ndarray,
+        n_steps: int,
+        forcings: Optional[jnp.ndarray] = None,
+        params=None,
+    ) -> jnp.ndarray:
+        """Multi-step forecast: preprocess → autoregressive rollout →
+        postprocess each lead time (the anemoi-inference serve surface).
+
+        ``batch``: (batch, time, grid, vars) initial window;
+        ``forcings``: (n_steps, batch, 1, grid, n_forcing) *preprocessed*
+        per-step forcings, or None. Returns (n_steps, batch, ensemble, grid,
+        vars_out) at the post-processed (physical) level.
+        """
+        params = params if params is not None else self.params
+        assert params is not None, "Call init_params() (or pass params) first."
+        pre = self.pre_processors(batch, in_place=False)
+        x0 = pre[:, 0 : self.multi_step, None, ...]
+        rollout = self.make_rollout_fn(n_steps)
+        _, preds = rollout(params, x0, forcings)
+        return jnp.stack([self.post_processors(p, in_place=False) for p in preds])
+
     # -- checkpointing ---------------------------------------------------
     def save(self, path: str, opt_state=None, step: Optional[int] = None) -> str:
         """Persist params + processor state + metadata (orbax)."""

@@ -200,3 +200,22 @@ def test_inference_chunking_env(small_graph, monkeypatch):
     monkeypatch.setattr(block_mod, "NUM_CHUNKS_INFERENCE", 3)
     chunked = model.apply(params, x)
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(ref), atol=5e-4, rtol=1e-3)
+
+
+def test_interface_predict_rollout(small_graph):
+    from helpers_models import make_statistics
+
+    cfg = make_config("graphtransformer")
+    di = IndexCollection(cfg, dict(VARS))
+    iface = AnemoiModelInterface(
+        config=cfg, graph_data=small_graph, statistics=make_statistics(), data_indices=di
+    )
+    iface.init_params(jax.random.key(0))
+    n_grid = small_graph["data"].num_nodes
+    batch = jnp.asarray(np.random.RandomState(3).rand(1, 2, n_grid, 4), jnp.float32)
+    n_steps = 3
+    forcings = jnp.zeros((n_steps, 1, 1, n_grid, 1), jnp.float32)
+    preds = iface.predict_rollout(batch, n_steps, forcings)
+    # post-processed output at model-output width per lead time
+    assert preds.shape == (n_steps, 1, 1, n_grid, 4)
+    assert jnp.isfinite(preds).all()

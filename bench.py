@@ -37,10 +37,9 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ITERS", "2"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     mode = os.environ.get("BENCH_MODE", "forward")  # forward | train
-    # latlon default: the octahedral O96 program is 2.2x larger and the
-    # remote-compile path on the dev tunnel cannot reliably compile it within
-    # the bench budget; set BENCH_GRID=octahedral for the true O96 workload.
-    grid = os.environ.get("BENCH_GRID", "latlon")
+    # true O96 octahedral grid by default (40,320 points, uniform density);
+    # BENCH_GRID=latlon selects the smaller equal-angle workload
+    grid = os.environ.get("BENCH_GRID", "octahedral")
     remat = os.environ.get("BENCH_REMAT", "full")  # full | save_dots | none
     flavor = os.environ.get("BENCH_FLAVOR", "graphtransformer")  # | gnn | transformer
 

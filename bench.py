@@ -40,6 +40,7 @@ def main() -> None:
     # true O96 octahedral grid by default (40,320 points, uniform density);
     # BENCH_GRID=latlon selects the smaller equal-angle workload
     grid = os.environ.get("BENCH_GRID", "octahedral")
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
     remat = os.environ.get("BENCH_REMAT", "full")  # full | save_dots | none
     flavor = os.environ.get("BENCH_FLAVOR", "graphtransformer")  # | gnn | transformer
 
@@ -52,6 +53,7 @@ def main() -> None:
         grid=grid,
         remat_policy=remat,
         flavor=flavor,
+        batch_size=batch,
     )
     n_grid = x.shape[3]
 
@@ -111,13 +113,13 @@ def main() -> None:
     tk = timed(1 + iters)
     dt = max(tk - t1, 1e-9)
 
-    gps = n_grid * iters / dt
+    gps = batch * n_grid * iters / dt
     print(
         json.dumps(
             {
                 "metric": f"enc-proc-dec[{flavor}] {'train-step' if mode == 'train' else 'fwd'} "
                 f"grid-points/s/chip ({'O' + str(grid_lat) if grid == 'octahedral' else 'latlon'}"
-                f" grid={n_grid}, mesh_r{refinements}, C={channels}, L={layers}, {dtype})",
+                f" grid={n_grid}, B={batch}, mesh_r{refinements}, C={channels}, L={layers}, {dtype})",
                 "value": round(gps, 1),
                 "unit": "grid-points/s",
                 "vs_baseline": round(gps / TARGET_GRID_POINTS_PER_S, 4),

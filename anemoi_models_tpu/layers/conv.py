@@ -110,9 +110,10 @@ def graph_transformer_conv(
         k_j = k_j + edge_attr
         v_j = v_j + edge_attr
 
-    alpha = (q_i * k_j).sum(axis=-1) / jnp.sqrt(jnp.asarray(out_channels, dtype=jnp.float32)).astype(
-        q_i.dtype
-    )  # (B, E, H)
+    # fp32 accumulation of the per-edge q·k contraction
+    alpha = jnp.einsum(
+        "...ehd,...ehd->...eh", q_i, k_j, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.asarray(out_channels, dtype=jnp.float32))
     alpha = segment_softmax(alpha, edge_index[1], num_dst)
     messages = v_j * alpha[..., None]
 

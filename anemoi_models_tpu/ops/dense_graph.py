@@ -60,8 +60,11 @@ def dense_edge_attention(
         k_n = k_n + e_n
         v_n = v_n + e_n
 
-    scale = 1.0 / jnp.sqrt(jnp.asarray(out_channels, jnp.float32)).astype(query.dtype)
-    logits = (query[..., :, None, :, :] * k_n).sum(-1).astype(jnp.float32) * scale  # (B, N, deg, H)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(out_channels, jnp.float32))
+    # fp32 accumulation of the q·k contraction (bf16-safe softmax logits)
+    logits = jnp.einsum(
+        "...nhd,...nkhd->...nkh", query, k_n, preferred_element_type=jnp.float32
+    ) * scale
     logits = jnp.where(mask[..., None], logits, -jnp.inf)
     m = jnp.max(logits, axis=-2, keepdims=True)
     m = jnp.where(jnp.isfinite(m), m, 0.0)
@@ -123,8 +126,11 @@ def bucketed_edge_attention(
             v_n = v_n + e_n
 
         d = q_b.shape[-1]
-        scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32)).astype(q_b.dtype)
-        logits = (q_b[..., :, None, :, :] * k_n).sum(-1).astype(jnp.float32) * scale  # (B, nb, cap, H)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+        # fp32 accumulation of the q·k contraction (bf16-safe softmax logits)
+        logits = jnp.einsum(
+            "...nhd,...nkhd->...nkh", q_b, k_n, preferred_element_type=jnp.float32
+        ) * scale
         logits = jnp.where(mask[..., None], logits, -jnp.inf)
         m = jnp.max(logits, axis=-2, keepdims=True)
         m = jnp.where(jnp.isfinite(m), m, 0.0)

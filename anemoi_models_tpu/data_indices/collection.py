@@ -25,7 +25,7 @@ def _as_list(value: Any) -> list:
 
 
 class IndexCollection:
-    """Collection of data and model indices."""
+    """The four-level (data/internal_data/model/internal_model) routing table."""
 
     def __init__(self, config: Any, name_to_index: dict[str, int]) -> None:
         self.config = config
@@ -37,17 +37,22 @@ class IndexCollection:
         self.remapped = dict(remapped) if remapped else {}
         self.forcing_remapped = self.forcing.copy()
 
-        assert set(self.diagnostic).isdisjoint(self.forcing), (
-            f"Diagnostic and forcing variables overlap: {set(self.diagnostic).intersection(self.forcing)}. "
-            "Please drop them at a dataset-level to exclude them from the training data."
-        )
-        assert set(self.remapped).isdisjoint(self.diagnostic), (
-            "Remapped variable overlap with diagnostic variables. Not implemented."
-        )
-        assert set(self.remapped).issubset(self.name_to_index), (
-            "Remapping a variable that does not exist in the dataset. Check for typos: "
-            f"{set(self.remapped).difference(self.name_to_index)}"
-        )
+        both = set(self.diagnostic).intersection(self.forcing)
+        if both:
+            raise ValueError(
+                f"Variables {sorted(both)} are listed as both diagnostic and forcing; "
+                "a variable can be model-input-only or model-output-only, not both."
+            )
+        remapped_diag = set(self.remapped).intersection(self.diagnostic)
+        if remapped_diag:
+            raise ValueError(
+                f"Remapping of diagnostic variables ({sorted(remapped_diag)}) is unsupported."
+            )
+        unknown = set(self.remapped).difference(self.name_to_index)
+        if unknown:
+            raise KeyError(
+                f"config.data.remapped names variables absent from the dataset: {sorted(unknown)}"
+            )
 
         name_to_index_model_input = {
             name: i for i, name in enumerate(key for key in self.name_to_index if key not in self.diagnostic)

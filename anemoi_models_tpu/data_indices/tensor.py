@@ -24,9 +24,9 @@ class BaseTensorIndex:
         self.name_to_index = name_to_index
 
         missing_ex = [v for v in self.excludes if v not in self.name_to_index]
-        assert not missing_ex, f"Data indexing has invalid entries {missing_ex}, not in dataset."
+        assert not missing_ex, f"Index excludes name variables absent from the dataset table: {missing_ex}"
         missing_in = [v for v in self.includes if v not in self.name_to_index]
-        assert not missing_in, f"Data indexing has invalid entries {missing_in}, not in dataset."
+        assert not missing_in, f"Index includes name variables absent from the dataset table: {missing_in}"
 
         self.full = self._build_idx_from_excludes()
         self._only = self._build_idx_from_includes()

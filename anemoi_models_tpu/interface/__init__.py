@@ -101,7 +101,7 @@ class AnemoiModelInterface:
         assert params is not None, "Call init_params() (or pass params) before predict_step()."
         batch = self.pre_processors(batch, in_place=False)
         assert len(batch.shape) == 4, (
-            f"The input tensor has an incorrect shape: expected a 4-dimensional tensor, got {batch.shape}!"
+            f"predict_step expects a (batch, time, grid, vars) 4-D tensor; received shape {batch.shape}"
         )
         x = batch[:, 0 : self.multi_step, None, ...]  # add ensemble dim
         y_hat = self.model.apply(params, x)

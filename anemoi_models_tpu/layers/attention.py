@@ -36,7 +36,7 @@ class MultiHeadSelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         assert self.embed_dim % self.num_heads == 0, (
-            f"Embedding dimension ({self.embed_dim}) must be divisible by number of heads "
+            f"Head split impossible: embed_dim {self.embed_dim} is not a multiple of "
             f"({self.num_heads})"
         )
         head_dim = self.embed_dim // self.num_heads

@@ -45,7 +45,7 @@ def register_edges(
     batch element.
     """
     assert sub_graph is not None, "A valid sub_graph is required to register edges."
-    assert edge_attributes is not None, "Edge attributes must be provided"
+    assert edge_attributes is not None, "GNN processor needs the edge-attribute tensor (got None)"
     edge_attr = sub_graph.attr_tensor(list(edge_attributes))
     edge_index = np.asarray(sub_graph.edge_index, dtype=np.int32)
     return edge_attr, edge_index, edge_attr.shape[1] + trainable_size
@@ -80,7 +80,7 @@ def _remat(module_class, remat_policy: str):
 
 def _chunk_sizes(num_layers: int, num_chunks: int) -> int:
     assert num_layers % num_chunks == 0, (
-        f"Number of processor layers ({num_layers}) has to be divisible by the number of "
+        f"Chunked remat needs num_layers ({num_layers}) to split evenly across "
         f"processor chunks ({num_chunks})."
     )
     return num_layers // num_chunks

@@ -118,12 +118,12 @@ class AnemoiModelEncProcDec(nn.Module):
         assert len(self._internal_output_idx) == len(data_indices.internal_model.output.full) - len(
             data_indices.internal_model.output.diagnostic
         ), (
-            f"Mismatch between the internal data indices ({len(self._internal_output_idx)}) and "
+            f"Routing-table width check failed: {len(self._internal_output_idx)} internal data outputs vs "
             f"the internal output indices excluding diagnostic variables "
             f"({len(data_indices.internal_model.output.full) - len(data_indices.internal_model.output.diagnostic)})"
         )
         assert len(self._internal_input_idx) == len(self._internal_output_idx), (
-            f"Internal model indices must match {self._internal_input_idx} != {self._internal_output_idx}"
+            f"Prognostic input/output index vectors diverge: {self._internal_input_idx} vs {self._internal_output_idx}"
         )
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:

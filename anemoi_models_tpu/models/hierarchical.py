@@ -21,7 +21,7 @@ __all__ = ["AnemoiModelEncProcDecHierarchical"]
 
 
 class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
-    """Message passing hierarchical graph neural network."""
+    """Multi-resolution enc-proc-dec: a pyramid of hidden meshes with skip links."""
 
     def setup(self) -> None:
         cfg = as_dotdict(self.model_config)

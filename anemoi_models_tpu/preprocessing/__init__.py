@@ -132,7 +132,7 @@ class Processors:
     def _run_checks(self, x) -> None:
         if not self.inverse:
             num_nan = jnp.isnan(x).sum()
-            assert num_nan == 0, f"NaNs ({num_nan}) found in processed tensor after {self.__class__.__name__}."
+            assert num_nan == 0, f"{self.__class__.__name__} left {num_nan} NaNs in its output on the first batch."
 
     def state_dict(self) -> dict:
         return {name: p.state_dict() for name, p in self.processors.items() if p.state_dict()}

@@ -45,14 +45,19 @@ class BaseImputer(BasePreprocessor):
         self.loss_mask_training: Optional[jnp.ndarray] = None
 
     def _validate_indices(self):
-        assert len(self.index_training_input) == len(self.index_inference_input) <= len(self.replacement), (
-            f"Error creating imputation indices {len(self.index_training_input)}, "
-            f"{len(self.index_inference_input)}, {len(self.replacement)}"
+        counts = {
+            "train-in": len(self.index_training_input),
+            "infer-in": len(self.index_inference_input),
+            "train-out": len(self.index_training_output),
+            "infer-out": len(self.index_inference_output),
+            "values": len(self.replacement),
+        }
+        ok = (
+            counts["train-in"] == counts["infer-in"] <= counts["values"]
+            and counts["train-out"] == counts["infer-out"] <= counts["values"]
         )
-        assert len(self.index_training_output) == len(self.index_inference_output) <= len(self.replacement), (
-            f"Error creating imputation indices {len(self.index_training_output)}, "
-            f"{len(self.index_inference_output)}, {len(self.replacement)}"
-        )
+        if not ok:
+            raise RuntimeError(f"Imputer column bookkeeping is inconsistent: {counts}")
 
     def _create_imputation_indices(self, statistics: Optional[dict] = None):
         """Collect (source, per-width destination, replacement) per variable."""
@@ -87,10 +92,14 @@ class BaseImputer(BasePreprocessor):
                 # ConstantImputer: the config key *is* the value
                 self.replacement.append(float(method))
             elif isinstance(statistics, dict):
-                assert method in statistics, f"{method} is not a method in the statistics metadata"
+                if method not in statistics:
+                    raise KeyError(
+                        f"Imputer: statistic '{method}' (for variable '{name}') is not present "
+                        f"in the dataset statistics (have: {sorted(statistics)})"
+                    )
                 self.replacement.append(float(statistics[method][name_to_index_training_input[name]]))
             else:
-                raise TypeError(f"Statistics {type(statistics)} is optional and not a dictionary")
+                raise TypeError(f"Imputer statistics must be a dict or None, got {type(statistics)}")
 
         # Dense per-width gather/scatter plans (static numpy, baked into jit)
         self._plan_input = {
@@ -145,7 +154,7 @@ class BaseImputer(BasePreprocessor):
     def _select_plan(self, plans: dict, width: int, kind: str):
         if width not in plans:
             raise ValueError(
-                f"Input tensor ({width}) does not match the training or inference {kind} shape "
+                f"Imputer got a {width}-wide {kind} tensor; known widths are "
                 f"({sorted(plans.keys())})"
             )
         return plans[width]
@@ -228,8 +237,8 @@ class DynamicInputImputer(DynamicMixin, InputImputer):
     def __init__(self, config=None, data_indices=None, statistics=None) -> None:
         super().__init__(config, data_indices, statistics)
         warnings.warn(
-            "You are using a dynamic Imputer: NaN values will not be present in the model predictions. "
-            "The model will be trained to predict imputed values. This might deteriorate performances."
+            "Dynamic imputation recomputes the NaN map every batch and never restores "
+            "NaNs on inverse — the model learns to emit the fill values at missing points."
         )
 
 
@@ -239,6 +248,6 @@ class DynamicConstantImputer(DynamicMixin, ConstantImputer):
     def __init__(self, config=None, data_indices=None, statistics=None) -> None:
         super().__init__(config, data_indices, statistics)
         warnings.warn(
-            "You are using a dynamic Imputer: NaN values will not be present in the model predictions. "
-            "The model will be trained to predict imputed values. This might deteriorate performances."
+            "Dynamic imputation recomputes the NaN map every batch and never restores "
+            "NaNs on inverse — the model learns to emit the fill values at missing points."
         )

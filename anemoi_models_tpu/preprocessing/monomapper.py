@@ -39,16 +39,15 @@ class Monomapper(BasePreprocessor):
         self._validate_indices()
 
     def _validate_indices(self):
-        assert (
-            len(self.index_training_input)
-            == len(self.index_inference_input)
-            == len(self.index_inference_output)
-            == len(self.index_training_out)
-            == len(self.remappers)
-        ), (
-            f"Error creating conversion indices {len(self.index_training_input)}, "
-            f"{len(self.index_inference_input)}, {len(self.index_training_out)}, {len(self.remappers)}"
-        )
+        lengths = {
+            "train-in": len(self.index_training_input),
+            "infer-in": len(self.index_inference_input),
+            "infer-out": len(self.index_inference_output),
+            "train-out": len(self.index_training_out),
+            "mappers": len(self.remappers),
+        }
+        if len(set(lengths.values())) != 1:
+            raise RuntimeError(f"Monomapper column bookkeeping is inconsistent: {lengths}")
 
     def _create_remapping_indices(self, statistics=None):
         name_to_index_training_input = self.data_indices.data.input.name_to_index
@@ -72,7 +71,7 @@ class Monomapper(BasePreprocessor):
         for name in name_to_index_training_input:
             method = self.methods.get(name, self.default)
             if method not in self.supported_methods:
-                raise KeyError(f"Unknown remapping method for {name}: {method}")
+                raise KeyError(f"Monomapper: no such transform '{method}' (variable '{name}')")
             if method == "none":
                 continue
             self.remappers.append(self.supported_methods[method][0])
@@ -89,8 +88,8 @@ class Monomapper(BasePreprocessor):
             idx = self.index_inference_input
         else:
             raise ValueError(
-                f"Input tensor ({x.shape[-1]}) does not match the training "
-                f"({self.num_training_input_vars}) or inference shape ({self.num_inference_input_vars})"
+                f"Remapper got a {x.shape[-1]}-wide tensor; expected the training width "
+                f"{self.num_training_input_vars} or the inference width {self.num_inference_input_vars}"
             )
         for i, remapper in zip(idx, self.remappers):
             if i is not None:
@@ -104,8 +103,8 @@ class Monomapper(BasePreprocessor):
             idx = self.index_inference_output
         else:
             raise ValueError(
-                f"Input tensor ({x.shape[-1]}) does not match the training "
-                f"({self.num_training_output_vars}) or inference shape ({self.num_inference_output_vars})"
+                f"Remapper got a {x.shape[-1]}-wide tensor; expected the training width "
+                f"{self.num_training_output_vars} or the inference width {self.num_inference_output_vars}"
             )
         for i, backmapper in zip(idx, self.backmappers):
             if i is not None:

@@ -33,20 +33,25 @@ class Multimapper(BasePreprocessor):
         self._validate_indices()
 
     def _validate_indices(self):
-        assert len(self.index_training_input) == len(self.index_inference_input) <= len(self.remappers), (
-            f"Error creating conversion indices {len(self.index_training_input)}, "
-            f"{len(self.index_inference_input)}, {len(self.remappers)}"
+        counts = {
+            "train-in": len(self.index_training_input),
+            "infer-in": len(self.index_inference_input),
+            "train-out": len(self.index_training_output),
+            "infer-out": len(self.index_inference_output),
+            "mappers": len(self.remappers),
+        }
+        ok = (
+            counts["train-in"] == counts["infer-in"] <= counts["mappers"]
+            and counts["train-out"] == counts["infer-out"] <= counts["mappers"]
         )
-        assert len(self.index_training_output) == len(self.index_inference_output) <= len(self.remappers), (
-            f"Error creating conversion indices {len(self.index_training_output)}, "
-            f"{len(self.index_inference_output)}, {len(self.remappers)}"
-        )
-        assert (
-            len(set(self.index_training_input + self.indices_keep_training_input)) == self.num_training_input_vars
-        ), (
-            "Error creating conversion indices: variables remapped in config.data.remapped "
-            "that have no remapping function defined. Preprocessed tensors contains empty columns."
-        )
+        if not ok:
+            raise RuntimeError(f"Multimapper column bookkeeping is inconsistent: {counts}")
+        covered = len(set(self.index_training_input + self.indices_keep_training_input))
+        if covered != self.num_training_input_vars:
+            raise ValueError(
+                "Multimapper: some variables listed under config.data.remapped have no "
+                "mapping method configured — the internal tensor would carry dead columns."
+            )
 
     def _create_remapping_indices(self, statistics=None):
         di = self.data_indices
@@ -103,7 +108,7 @@ class Multimapper(BasePreprocessor):
             if method == "none":
                 continue
             if method != "cos_sin":
-                raise ValueError(f"Unknown remapping method for {name}: {method}")
+                raise ValueError(f"Multimapper: no such transform '{method}' (variable '{name}')")
 
             self.index_training_input.append(name_to_index_training_input[name])
             self.index_training_output.append(name_to_index_training_output[name])
@@ -113,10 +118,11 @@ class Multimapper(BasePreprocessor):
             multiple_training_output, multiple_inference_output = [], []
             multiple_training_input, multiple_inference_input = [], []
             for name_dst in self.method_config[method][name]:
-                assert name_dst in di.internal_data.input.name_to_index, (
-                    f"Trying to remap {name} to {name_dst}, but {name_dst} not a variable. "
-                    f"Remap {name} to {name_dst} in config.data.remapped. "
-                )
+                if name_dst not in di.internal_data.input.name_to_index:
+                    raise KeyError(
+                        f"Multimapper: target column '{name_dst}' for '{name}' was never "
+                        f"declared — add '{name}': [...,'{name_dst}'] under config.data.remapped."
+                    )
                 multiple_training_input.append(name_to_index_training_remapped_input[name_dst])
                 multiple_training_output.append(name_to_index_training_remapped_output[name_dst])
                 multiple_inference_input.append(name_to_index_inference_remapped_input[name_dst])
@@ -143,8 +149,8 @@ class Multimapper(BasePreprocessor):
             target_number_columns = self.num_remapped_inference_input_vars
         else:
             raise ValueError(
-                f"Input tensor ({x.shape[-1]}) does not match the training "
-                f"({self.num_training_input_vars}) or inference shape ({self.num_inference_input_vars})"
+                f"Remapper got a {x.shape[-1]}-wide tensor; expected the training width "
+                f"{self.num_training_input_vars} or the inference width {self.num_inference_input_vars}"
             )
 
         x_remapped = jnp.zeros(x.shape[:-1] + (target_number_columns,), dtype=x.dtype)
@@ -169,9 +175,9 @@ class Multimapper(BasePreprocessor):
             target_number_columns = self.num_inference_output_vars
         else:
             raise ValueError(
-                f"Input tensor ({x.shape[-1]}) does not match the training "
-                f"({self.num_remapped_training_output_vars}) or inference shape "
-                f"({self.num_remapped_inference_output_vars})"
+                f"Remapper got a {x.shape[-1]}-wide tensor; expected the training width "
+                f"{self.num_remapped_training_output_vars} or the inference width "
+                f"{self.num_remapped_inference_output_vars}"
             )
 
         x_remapped = jnp.zeros(x.shape[:-1] + (target_number_columns,), dtype=x.dtype)

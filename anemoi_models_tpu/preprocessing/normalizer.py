@@ -51,54 +51,60 @@ class InputNormalizer(BasePreprocessor):
 
         self._validate_normalization_inputs(name_to_index_training_input, minimum, maximum, mean, stdev)
 
-        _norm_add = np.zeros((minimum.size,), dtype=np.float32)
-        _norm_mul = np.ones((minimum.size,), dtype=np.float32)
-
+        # Vectorized affine-table build: one (mul, add) pair per method, selected
+        # by a per-variable method-id vector — no per-variable Python branching.
+        n = minimum.size
+        method_id = np.zeros((n,), dtype=np.int64)  # 0 = none
+        method_codes = {"none": 0, "mean-std": 1, "std": 2, "min-max": 3, "max": 4}
         for name, i in name_to_index_training_input.items():
             method = self.methods.get(name, self.default)
-            if method == "mean-std":
-                if stdev[i] < (mean[i] * 1e-6):
-                    warnings.warn(f"Normalizing: the field seems to have only one value {mean[i]}")
-                _norm_mul[i] = 1 / stdev[i]
-                _norm_add[i] = -mean[i] / stdev[i]
-            elif method == "std":
-                if stdev[i] < (mean[i] * 1e-6):
-                    warnings.warn(f"Normalizing: the field seems to have only one value {mean[i]}")
-                _norm_mul[i] = 1 / stdev[i]
-                _norm_add[i] = 0
-            elif method == "min-max":
-                x = maximum[i] - minimum[i]
-                if x < 1e-9:
-                    warnings.warn(f"Normalizing: the field {name} seems to have only one value {maximum[i]}.")
-                _norm_mul[i] = 1 / x
-                _norm_add[i] = -minimum[i] / x
-            elif method == "max":
-                _norm_mul[i] = 1 / maximum[i]
-            elif method == "none":
-                pass
-            else:
-                raise ValueError(f"Unknown normalisation method for {name}: {method}")
+            if method not in method_codes:
+                raise ValueError(f"InputNormalizer: unsupported method '{method}' for variable '{name}'")
+            method_id[i] = method_codes[method]
 
-        self._norm_mul = jnp.asarray(_norm_mul)
-        self._norm_add = jnp.asarray(_norm_add)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            span = maximum - minimum
+            candidates_mul = np.stack(
+                [np.ones((n,)), 1.0 / stdev, 1.0 / stdev, 1.0 / span, 1.0 / maximum]
+            )
+            candidates_add = np.stack(
+                [np.zeros((n,)), -mean / stdev, np.zeros((n,)), -minimum / span, np.zeros((n,))]
+            )
+        _norm_mul = np.take_along_axis(candidates_mul, method_id[None, :], axis=0)[0]
+        _norm_add = np.take_along_axis(candidates_add, method_id[None, :], axis=0)[0]
+
+        degenerate = ((method_id == 1) | (method_id == 2)) & (stdev < mean * 1e-6)
+        degenerate |= (method_id == 3) & (span < 1e-9)
+        if degenerate.any():
+            index_to_name = {i: k for k, i in name_to_index_training_input.items()}
+            bad = ", ".join(index_to_name.get(int(i), str(int(i))) for i in np.nonzero(degenerate)[0])
+            warnings.warn(
+                f"InputNormalizer: near-zero spread detected for [{bad}]; "
+                "their normalization is numerically degenerate (constant field?)."
+            )
+
+        self._norm_mul = jnp.asarray(_norm_mul, dtype=jnp.float32)
+        self._norm_add = jnp.asarray(_norm_add, dtype=jnp.float32)
         self._input_idx = jnp.asarray(data_indices.data.input.full)
         self._output_idx = jnp.asarray(data_indices.data.output.full)
 
     def _validate_normalization_inputs(self, name_to_index_training_input: dict, minimum, maximum, mean, stdev):
-        assert len(self.methods) == sum(len(v) for v in self.method_config.values()), (
-            f"Error parsing methods in InputNormalizer methods ({len(self.methods)}) "
-            f"and entries in config ({sum(len(v) for v in self.method_config)}) do not match."
-        )
-        n = minimum.size
-        assert maximum.size == n, (maximum.size, n)
-        assert mean.size == n, (mean.size, n)
-        assert stdev.size == n, (stdev.size, n)
-        assert isinstance(self.methods, dict)
-        for name, method in self.methods.items():
-            assert name in name_to_index_training_input, f"{name} is not a valid variable name"
-            assert method in ("mean-std", "std", "min-max", "max", "none"), (
-                f"{method} is not a valid normalisation method"
+        n_config = sum(len(v) for v in self.method_config.values())
+        if len(self.methods) != n_config:
+            raise ValueError(
+                f"InputNormalizer config is inconsistent: {len(self.methods)} resolved "
+                f"per-variable methods vs {n_config} variables listed under method keys "
+                "(a variable may appear under two methods)."
             )
+        n = minimum.size
+        for label, arr in (("maximum", maximum), ("mean", mean), ("stdev", stdev)):
+            if arr.size != n:
+                raise ValueError(f"statistics['{label}'] has {arr.size} entries, expected {n}")
+        for name, method in self.methods.items():
+            if name not in name_to_index_training_input:
+                raise KeyError(f"InputNormalizer: '{name}' is not in the dataset's variable table")
+            if method not in ("mean-std", "std", "min-max", "max", "none"):
+                raise ValueError(f"InputNormalizer: unsupported method '{method}' for variable '{name}'")
 
     def transform(self, x, in_place: bool = False, data_index=None):
         """Normalize a tensor of shape [..., nvars]; width selects the view."""

@@ -31,8 +31,8 @@ class Remapper(BasePreprocessor):
             any(method in monomappings for method in method_config)
             or any(method in multimappings for method in method_config)
         ):
-            raise ValueError("No valid remapping method found.")
+            raise ValueError("Remapper config selects no supported transform.")
         raise NotImplementedError(
-            "Not implemented: method_config contains a mix of monomapper and multimapper methods: "
+            "Remapper cannot mix width-preserving and width-changing transforms in one block: "
             f"{list(method_config.keys())}"
         )

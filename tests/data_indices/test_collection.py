@@ -84,7 +84,7 @@ def test_remapped_forcing():
 
 def test_overlap_assertions():
     config = DotDict({"data": {"forcing": ["x"], "diagnostic": ["x"]}})
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         IndexCollection(config=config, name_to_index={"x": 0, "y": 1})
 
 

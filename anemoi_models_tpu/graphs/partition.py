@@ -65,17 +65,25 @@ def dense_neighbor_table(
     return edge_ids, src_ids, mask
 
 
-_TABLE_CACHE: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+def _edge_set_cache(edge_set: EdgeSet) -> dict:
+    """Per-instance memo dict living on the EdgeSet (dies with it — an
+    id()-keyed module cache could serve stale tables after address reuse)."""
+    cache = getattr(edge_set, "_layout_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(edge_set, "_layout_cache", cache)
+    return cache
 
 
 def edge_set_neighbor_table(
     edge_set: EdgeSet, num_dst: int, pad_to_multiple: int = 1
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Cached :func:`dense_neighbor_table` for an EdgeSet."""
-    key = id(edge_set)
-    if key not in _TABLE_CACHE:
-        _TABLE_CACHE[key] = dense_neighbor_table(edge_set.edge_index, num_dst, pad_to_multiple)
-    return _TABLE_CACHE[key]
+    cache = _edge_set_cache(edge_set)
+    key = ("dense", num_dst, pad_to_multiple)
+    if key not in cache:
+        cache[key] = dense_neighbor_table(edge_set.edge_index, num_dst, pad_to_multiple)
+    return cache[key]
 
 
 # ---------------------------------------------------------------------------
@@ -256,12 +264,10 @@ def bucketed_neighbor_tables(
     return buckets, reassemble
 
 
-_BUCKET_CACHE: dict[int, tuple] = {}
-
-
 def edge_set_bucketed_tables(edge_set: EdgeSet, num_dst: int):
     """Cached :func:`bucketed_neighbor_tables` for an EdgeSet."""
-    key = id(edge_set)
-    if key not in _BUCKET_CACHE:
-        _BUCKET_CACHE[key] = bucketed_neighbor_tables(edge_set.edge_index, num_dst)
-    return _BUCKET_CACHE[key]
+    cache = _edge_set_cache(edge_set)
+    key = ("bucketed", num_dst)
+    if key not in cache:
+        cache[key] = bucketed_neighbor_tables(edge_set.edge_index, num_dst)
+    return cache[key]

@@ -49,8 +49,15 @@ class MultiHeadSelfAttention(nn.Module):
             t.reshape(batch, seq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
             for t in (query, key, value)
         )
+        drop_rate = self.dropout_p if not deterministic else 0.0
+        drop_rng = self.make_rng("dropout") if drop_rate > 0.0 else None
         mesh = get_mesh()
         if self.attention_impl == "halo":
+            if drop_rate > 0.0:
+                raise NotImplementedError(
+                    "halo attention does not support attention-weight dropout; "
+                    "train with attention_impl='auto'/'chunked' or dropout_p=0"
+                )
             # sequence-parallel windowed attention: keep the sequence sharded
             # and exchange only ±window halos of k/v over the ring
             # (ops/ring_attention.py) — no all-to-alls at all.
@@ -78,10 +85,10 @@ class MultiHeadSelfAttention(nn.Module):
                 window_size=self.window_size,
                 is_causal=self.is_causal,
                 impl=self.attention_impl,
+                dropout_rate=drop_rate,
+                dropout_rng=drop_rng,
             )
             out = constrain(out, ("data", "model", None, None))
         out = out.transpose(0, 2, 1, 3).reshape(batch, seq, self.embed_dim)
         out = constrain(out, ("data", "model", None))
-        if self.dropout_p > 0.0:
-            out = nn.Dropout(rate=self.dropout_p)(out, deterministic=deterministic)
         return nn.Dense(self.embed_dim, use_bias=True, dtype=self.dtype, name="projection")(out)

@@ -33,8 +33,11 @@ __all__ = [
     "GraphTransformerMapperBlock",
 ]
 
-# Number of edge chunks used during inference (reference block.py:39)
-NUM_CHUNKS_INFERENCE = int(os.environ.get("ANEMOI_INFERENCE_NUM_CHUNKS", "1"))
+def num_chunks_inference() -> int:
+    """Edge-chunk count for inference, read from the environment at call time
+    (matching the reference's per-call lookup, ``block.py:39``) so setting
+    ``ANEMOI_INFERENCE_NUM_CHUNKS`` after import still takes effect."""
+    return int(os.environ.get("ANEMOI_INFERENCE_NUM_CHUNKS", "1"))
 
 
 class TransformerProcessorBlock(nn.Module):
@@ -234,7 +237,9 @@ class _GraphTransformerBase(nn.Module):
             ei = edge_index[:, lo:hi]
             q_i = jnp.take(query, ei[1], axis=-3)
             k_j = jnp.take(key, ei[0], axis=-3) + edges[..., lo:hi, :, :]
-            return ei, ((q_i * k_j).sum(-1).astype(jnp.float32) * scale)  # (B, e, H)
+            # fp32-accumulated contraction, consistent with the unchunked paths
+            logits = jnp.einsum("...ehd,...ehd->...eh", q_i, k_j, preferred_element_type=jnp.float32)
+            return ei, logits * scale  # (B, e, H)
 
         from anemoi_models_tpu.ops.segment import segment_max
 
@@ -308,7 +313,7 @@ class GraphTransformerProcessorBlock(_GraphTransformerBase):
             edges = lin_edge(edge_attr)
             query, key, value, edges = map(self._heads, (query, key, value, edges))
 
-        num_chunks = self.num_chunks if not deterministic else max(self.num_chunks, NUM_CHUNKS_INFERENCE)
+        num_chunks = self.num_chunks if not deterministic else max(self.num_chunks, num_chunks_inference())
         out = self._conv_chunked(
             query, key, value, edges, edge_index, num_dst, num_chunks, tables,
             edge_transform=self._edge_transform(lin_edge) if tables is not None else None,
@@ -357,7 +362,7 @@ class GraphTransformerMapperBlock(_GraphTransformerBase):
             edges = lin_edge(edge_attr)
             query, key, value, edges = map(self._heads, (query, key, value, edges))
 
-        num_chunks = self.num_chunks if not deterministic else max(self.num_chunks, NUM_CHUNKS_INFERENCE)
+        num_chunks = self.num_chunks if not deterministic else max(self.num_chunks, num_chunks_inference())
         out = self._conv_chunked(
             query, key, value, edges, edge_index, num_dst, num_chunks, tables,
             edge_transform=self._edge_transform(lin_edge) if tables is not None else None,

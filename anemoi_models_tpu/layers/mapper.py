@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from anemoi_models_tpu.graphs.container import EdgeSet
@@ -74,8 +75,13 @@ class _GraphTransformerBaseMapper(nn.Module):
 
     def _block(self) -> nn.Module:
         # remat at the block boundary — the analogue of the model-level
-        # mapper checkpointing in reference encoder_processor_decoder.py:159-166
-        Block = nn.remat(GraphTransformerMapperBlock, static_argnums=(4, 5))
+        # mapper checkpointing in reference encoder_processor_decoder.py:159-166;
+        # cpu_offload parks saved dots in pinned host memory (ref mapper.py:64-66)
+        policy = (
+            jax.checkpoint_policies.offload_dot_with_no_batch_dims("device", "pinned_host")
+            if self.cpu_offload else None
+        )
+        Block = nn.remat(GraphTransformerMapperBlock, static_argnums=(4, 5), policy=policy)
         return Block(
             in_channels=self.hidden_dim,
             hidden_dim=self.mlp_hidden_ratio * self.hidden_dim,
@@ -183,7 +189,11 @@ class _GNNBaseMapper(nn.Module):
         return edge_attr, jnp.asarray(edge_index_np)
 
     def _block(self, update_src_nodes: bool) -> nn.Module:
-        Block = nn.remat(GraphConvMapperBlock, static_argnums=(4,))
+        policy = (
+            jax.checkpoint_policies.offload_dot_with_no_batch_dims("device", "pinned_host")
+            if self.cpu_offload else None
+        )
+        Block = nn.remat(GraphConvMapperBlock, static_argnums=(4,), policy=policy)
         return Block(
             in_channels=self.hidden_dim,
             out_channels=self.hidden_dim,

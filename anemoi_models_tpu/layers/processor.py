@@ -4,8 +4,9 @@ Counterparts of reference ``layers/processor.py``. Each processor splits
 ``num_layers`` into ``num_chunks`` chunk modules and wraps each chunk in
 ``jax.checkpoint`` (``nn.remat``) — the same rematerialization granularity as
 the reference's torch ``checkpoint`` calls (``processor.py:73-77``).
-``cpu_offload`` is accepted for config parity; host offload on TPU is handled
-by remat policies instead.
+``cpu_offload=True`` offloads saved matmul activations to pinned host memory
+via the remat policy (see :func:`_remat`) — functional counterpart of the
+reference's ``offload_wrapper``.
 
 Graph-based processors bake their (CSR-sorted) edge arrays in as constants at
 construction — the build-time analogue of the reference's edge-buffer
@@ -60,7 +61,7 @@ def _tables(sub_graph: EdgeSet, num_dst: int, graph_impl: str):
     return buckets, jnp.asarray(reassemble)
 
 
-def _remat(module_class, remat_policy: str):
+def _remat(module_class, remat_policy: str, cpu_offload: bool = False):
     """Wrap a chunk class in nn.remat with the configured policy.
 
     - "full": recompute everything in the backward (min memory, max FLOPs) —
@@ -69,7 +70,15 @@ def _remat(module_class, remat_policy: str):
       (XLA policy ``dots_with_no_batch_dims_saveable``) — much cheaper
       backward at moderate extra memory.
     - "none": no rematerialization.
+
+    ``cpu_offload=True`` is the TPU-native equivalent of the reference's
+    ``offload_wrapper`` (``layers/processor.py:57-59``): saved matmul
+    activations are offloaded to pinned host memory between forward and
+    backward instead of being recomputed or kept in HBM.
     """
+    if cpu_offload:
+        policy = jax.checkpoint_policies.offload_dot_with_no_batch_dims("device", "pinned_host")
+        return nn.remat(module_class, policy=policy)
     if remat_policy == "none":
         return module_class
     policy = None
@@ -107,7 +116,7 @@ class TransformerProcessor(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, **kwargs) -> jnp.ndarray:
         chunk_size = _chunk_sizes(self.num_layers, self.num_chunks)
-        Chunk = _remat(TransformerProcessorChunk, self.remat_policy)
+        Chunk = _remat(TransformerProcessorChunk, self.remat_policy, self.cpu_offload)
         for c in range(self.num_chunks):
             x = Chunk(
                 num_channels=self.num_channels,
@@ -156,7 +165,7 @@ class GNNProcessor(nn.Module):
         edge_index = jnp.asarray(edge_index_np)
         tables = _tables(self.sub_graph, x.shape[-2], self.graph_impl)
 
-        Chunk = _remat(GNNProcessorChunk, self.remat_policy)
+        Chunk = _remat(GNNProcessorChunk, self.remat_policy, self.cpu_offload)
         for c in range(self.num_chunks):
             x, edge_attr = Chunk(
                 num_channels=self.num_channels,
@@ -203,7 +212,7 @@ class GraphTransformerProcessor(nn.Module):
         edge_index = jnp.asarray(edge_index_np)
         tables = _tables(self.sub_graph, x.shape[-2], self.graph_impl)
 
-        Chunk = _remat(GraphTransformerProcessorChunk, self.remat_policy)
+        Chunk = _remat(GraphTransformerProcessorChunk, self.remat_policy, self.cpu_offload)
         for c in range(self.num_chunks):
             x, edge_attr = Chunk(
                 num_channels=self.num_channels,
@@ -230,8 +239,9 @@ class HaloGNNProcessor(nn.Module):
     active, so the same config runs single-chip.
 
     The edge-MLP/node-MLP layout matches :class:`GNNProcessor`'s blocks
-    (reference ``layers/block.py:170-223``); edge features are embedded once
-    (first layer) and kept shard-local.
+    (reference ``layers/block.py:170-223``); edge features are embedded once,
+    then each layer's updated edges (``msg``) are threaded into the next
+    layer shard-locally — the same ``edges_new`` recurrence as GNNProcessor.
     """
 
     num_layers: int
@@ -277,8 +287,8 @@ class HaloGNNProcessor(nn.Module):
         if use_halo:
             shards = self.num_shards or mesh.shape["model"]
             part = partition_1hop(edge_index_np, num_nodes, shards)
-            # shard edge features into the per-shard layout (batch folded in)
-            edge_sharded = shard_edge_values(edge_attr[0], part)
+            # shard edge features into the per-shard batched layout
+            edge_sharded = shard_edge_values(edge_attr, part)
         else:
             edge_index = jnp.asarray(edge_index_np)
             tables = _tables(self.sub_graph, num_nodes, "dense")
@@ -293,7 +303,9 @@ class HaloGNNProcessor(nn.Module):
                 "b3": self.param(f"conv_{i}_b3", nn.initializers.zeros, (self.num_channels,), jnp.float32),
             }
             if use_halo:
-                agg = halo_graph_conv(
+                # updated edges stay shard-local between layers — same
+                # threading as GNNProcessor's edges_new, zero extra comms
+                agg, edge_sharded = halo_graph_conv(
                     mesh, part, conv_params, x, edge_sharded, activation=self.activation
                 )
             else:
@@ -305,6 +317,7 @@ class HaloGNNProcessor(nn.Module):
                 msg = apply_edge_mlp(
                     conv_params, jnp.concatenate([x_i, x_j, edge_attr], -1), self.activation
                 ) + edge_attr
+                edge_attr = msg  # thread updated edge features to the next layer
                 from anemoi_models_tpu.ops.dense_graph import bucketed_neighbor_sum
 
                 agg = bucketed_neighbor_sum(msg, tables[0], tables[1])

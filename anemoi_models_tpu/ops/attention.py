@@ -34,6 +34,8 @@ def _reference_attention(
     value: jnp.ndarray,
     window_size: Optional[int],
     is_causal: bool,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
 ) -> jnp.ndarray:
     head_dim = query.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, dtype=jnp.float32))
@@ -47,6 +49,11 @@ def _reference_attention(
         causal = jnp.tril(jnp.ones((n_q, n_k), dtype=bool))
         logits = jnp.where(causal, logits, neg)
     weights = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0:
+        # dropout on the attention *probabilities*, like the reference's
+        # SDPA/flash dropout_p (``layers/attention.py:60,99-105``)
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
     return jnp.einsum("...qk,...kd->...qd", weights.astype(value.dtype), value)
 
 
@@ -58,13 +65,23 @@ def dot_product_attention(
     window_size: Optional[int] = None,
     is_causal: bool = False,
     impl: str = "auto",
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
 ) -> jnp.ndarray:
     """Attention over (..., heads, seq, head_dim) tensors.
 
     ``window_size``: half-width of the sliding attention window (the
     reference passes flash-attn ``window_size=(w, w)``, i.e. each query
     attends keys within ±w positions).
+
+    ``dropout_rate``/``dropout_rng``: attention-*weight* dropout matching the
+    reference's SDPA/flash ``dropout_p``. Supported on the reference and
+    chunked paths; the Pallas kernel has no in-kernel RNG yet, so with active
+    dropout ``pallas``/``auto`` fall back to the chunked path (identical math,
+    O(N·w) memory).
     """
+    if dropout_rate > 0.0 and dropout_rng is None:
+        raise ValueError("attention dropout_rate > 0 requires a dropout_rng")
     if impl == "auto":
         backend = jax.default_backend()
         if backend == "tpu":
@@ -75,6 +92,8 @@ def dot_product_attention(
             impl = "chunked"
         else:
             impl = "reference"
+    if impl == "pallas" and dropout_rate > 0.0:
+        impl = "chunked"
     if impl == "pallas":
         from anemoi_models_tpu.ops.pallas.flash_attention import flash_attention
 
@@ -82,5 +101,8 @@ def dot_product_attention(
     if impl == "chunked":
         from anemoi_models_tpu.ops.pallas.flash_attention import blockwise_attention
 
-        return blockwise_attention(query, key, value, window_size=window_size, is_causal=is_causal)
-    return _reference_attention(query, key, value, window_size, is_causal)
+        return blockwise_attention(
+            query, key, value, window_size=window_size, is_causal=is_causal,
+            dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+        )
+    return _reference_attention(query, key, value, window_size, is_causal, dropout_rate, dropout_rng)

@@ -166,11 +166,15 @@ def blockwise_attention(
     window_size: Optional[int] = None,
     is_causal: bool = False,
     block_size: int = 512,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
 ) -> jnp.ndarray:
     """Windowed attention over q-blocks with O(N·(blk+2w)) live memory.
 
     Pure jnp (differentiable, runs on any backend); numerically matches the
-    Pallas kernel (fp32 softmax accumulation).
+    Pallas kernel (fp32 softmax accumulation). Optional attention-weight
+    dropout is exact per q-block (each block sees its full key window, so
+    dropping normalized probabilities needs no cross-block correction).
     """
     b, h, n, d = q.shape
     blk = min(block_size, n)
@@ -202,6 +206,11 @@ def blockwise_attention(
             mask &= qpos >= kpos
         s = jnp.where(mask, s, _NEG_INF)
         w = jax.nn.softmax(s, axis=-1)
+        if dropout_rate > 0.0:
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(dropout_rng, i), 1.0 - dropout_rate, w.shape
+            )
+            w = jnp.where(keep, w / (1.0 - dropout_rate), 0.0)
         return jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), vs)
 
     if nb <= 64:

@@ -63,15 +63,18 @@ def halo_graph_conv(
     edge_attr_sharded: jnp.ndarray,
     activation: str = "SiLU",
     axis: str = "model",
-) -> jnp.ndarray:
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One GraphConv aggregation under halo exchange.
 
     - ``x``: (batch, num_nodes, C) node features (un-padded; padded inside).
-    - ``edge_attr_sharded``: (num_shards, E_pad, C) per-shard edge features in
-      the same order as ``part.local_edges``.
-    Returns (batch, num_nodes, C) aggregated messages (the conv output before
-    the node MLP/residual, plus new edge features are shard-local and
-    recomputed next layer as in the reference).
+    - ``edge_attr_sharded``: per-shard edge features in the same order as
+      ``part.local_edges`` — (num_shards, E_pad, C), or batch-carrying
+      (num_shards, batch, E_pad, C) as produced by a previous layer.
+    Returns ``(agg, new_edges)``: (batch, num_nodes, C) aggregated messages
+    (the conv output before the node MLP/residual) and the updated
+    shard-local edge features (num_shards, batch, E_pad, C) to thread into
+    the next layer — matching GraphConv's ``edges_new`` threading (reference
+    ``layers/block.py:205-221``) without ever gathering edges globally.
     """
     bc = jnp.asarray(part.boundary_contrib)
     hs = jnp.asarray(part.halo_select)
@@ -79,6 +82,7 @@ def halo_graph_conv(
     le = jnp.asarray(part.local_edges)
     em = jnp.asarray(part.edge_mask)
     x_pad = pad_nodes(x, part)
+    batched_edges = edge_attr_sharded.ndim == 4
 
     def local(x_blk, bc_blk, hs_blk, hm_blk, le_blk, em_blk, e_blk, p):
         contrib = jnp.take(x_blk, bc_blk[0], axis=1)
@@ -89,10 +93,14 @@ def halo_graph_conv(
         edges = le_blk[0]
         x_j = jnp.take(x_ext, edges[:, 0], axis=1)  # source features (B, E_pad, C)
         x_i = jnp.take(x_blk, edges[:, 1], axis=1)  # destination features
-        e = jnp.broadcast_to(e_blk[0][None], x_i.shape)
+        if batched_edges:
+            e = e_blk[0]  # (B, E_pad, C)
+        else:
+            e = jnp.broadcast_to(e_blk[0][None], x_i.shape)
         msg = apply_edge_mlp(p, jnp.concatenate([x_i, x_j, e], axis=-1), activation) + e
         msg = msg * em_blk[0][None, :, None].astype(msg.dtype)
-        return segment_sum(msg, edges[:, 1], part.nodes_per_shard, indices_are_sorted=False)
+        agg = segment_sum(msg, edges[:, 1], part.nodes_per_shard, indices_are_sorted=False)
+        return agg, msg[None]  # msg stays shard-local as next layer's edges
 
     run = jax.shard_map(
         local,
@@ -104,19 +112,23 @@ def halo_graph_conv(
             P(axis, None),
             P(axis, None, None),
             P(axis, None),
-            P(axis, None, None),
+            P(axis, None, None, None) if batched_edges else P(axis, None, None),
             P(),  # params replicated
         ),
-        out_specs=P(None, axis, None),
+        out_specs=(P(None, axis, None), P(axis, None, None, None)),
     )
-    out = run(x_pad, bc, hs, hm, le, em, edge_attr_sharded, params)
-    return unpad_nodes(out, part)
+    out, edges_new = run(x_pad, bc, hs, hm, le, em, edge_attr_sharded, params)
+    return unpad_nodes(out, part), edges_new
 
 
 def shard_edge_values(values: jnp.ndarray, part: HaloPartition) -> jnp.ndarray:
     """Rearrange global CSR-ordered per-edge values (..., E, C) into the
-    (num_shards, E_pad, C) layout matching ``part.local_edges`` (gather by
-    the partition's global edge ids; padded slots carry edge 0 and are
-    masked inside the kernel)."""
+    per-shard layout matching ``part.local_edges`` (gather by the partition's
+    global edge ids; padded slots carry edge 0 and are masked inside the
+    kernel). (E, C) input -> (S, E_pad, C); batched (B, E, C) input ->
+    (S, B, E_pad, C)."""
     ids = jnp.asarray(part.edge_ids)  # (S, E_pad)
-    return jnp.take(values, ids, axis=-2)
+    gathered = jnp.take(values, ids, axis=-2)  # (..., S, E_pad, C)
+    if values.ndim == 2:
+        return gathered
+    return jnp.moveaxis(gathered, -3, 0)

@@ -33,6 +33,13 @@ def make_rollout_fn(model: Any, data_indices: Any, n_steps: int) -> Callable:
     n_in = len(data_indices.internal_model.input)
 
     def rollout(params, x0: jnp.ndarray, forcings: Optional[jnp.ndarray] = None):
+        if forcings is None and forcing_in.size:
+            raise ValueError(
+                f"This model takes {forcing_in.size} forcing variables per step but rollout() "
+                "was called with forcings=None — every future step would see zero forcings "
+                "(normalized space) and the forecast would silently drift. Pass a "
+                "(n_steps, batch, ensemble, grid, n_forcing) array."
+            )
         def advance(x, y, forcing_t):
             """Shift the multi-step window, feeding back prognostic outputs."""
             nxt = jnp.zeros(x.shape[:1] + x.shape[2:4] + (n_in,), dtype=x.dtype)

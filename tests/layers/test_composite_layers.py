@@ -241,3 +241,23 @@ def test_graphconv_block_chunked_matches_unchunked(graph, hidden_x):
     out3, edges3 = b3.apply(params, hidden_x, e, ei)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out3), atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(edges1), np.asarray(edges3), atol=1e-5)
+
+
+def test_cpu_offload_remat_policy(graph, hidden_x):
+    """cpu_offload=True offloads saved dots to pinned host memory between
+    fwd and bwd (reference offload_wrapper, processor.py:57-59): forward
+    values match the non-offloaded run and grads stay finite."""
+    kwargs = dict(
+        num_layers=2, num_channels=CH, num_chunks=1, trainable_size=2,
+        sub_graph=graph[("hidden", "to", "hidden")],
+    )
+    plain = GNNProcessor(**kwargs)
+    offload = GNNProcessor(cpu_offload=True, **kwargs)
+    params = plain.init(jax.random.key(0), hidden_x)
+    ref = plain.apply(params, hidden_x)
+    out = offload.apply(params, hidden_x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    g = jax.grad(lambda p: jnp.mean(offload.apply(p, hidden_x) ** 2))(params)
+    for kp, leaf in jax.tree_util.tree_leaves_with_path(g):
+        assert jnp.isfinite(leaf).all(), kp

@@ -185,8 +185,6 @@ def test_interface_with_imputer_jit(small_graph):
 def test_inference_chunking_env(small_graph, monkeypatch):
     """ANEMOI_INFERENCE_NUM_CHUNKS controls edge chunking at inference
     (reference block.py:39); chunked result must match unchunked."""
-    import anemoi_models_tpu.layers.block as block_mod
-
     cfg = make_config("graphtransformer")
     cfg.model.processor.graph_impl = "segment"  # chunking applies to the segment path
     cfg.model.encoder.graph_impl = "segment"
@@ -197,7 +195,7 @@ def test_inference_chunking_env(small_graph, monkeypatch):
     x = jnp.asarray(np.random.RandomState(0).randn(1, 2, 1, n_grid, 4), jnp.float32)
     params = model.init(jax.random.key(0), x)
     ref = model.apply(params, x)
-    monkeypatch.setattr(block_mod, "NUM_CHUNKS_INFERENCE", 3)
+    monkeypatch.setenv("ANEMOI_INFERENCE_NUM_CHUNKS", "3")
     chunked = model.apply(params, x)
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(ref), atol=5e-4, rtol=1e-3)
 

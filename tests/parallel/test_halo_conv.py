@@ -39,9 +39,10 @@ def test_halo_graph_conv_matches_global():
     part = partition_1hop(es.edge_index, n, 8)
     e_sharded = shard_edge_values(e_global, part)
     mesh = make_mesh(data=1, model=8)
-    out = jax.jit(
+    out, edges_new = jax.jit(
         lambda x, e, p: halo_graph_conv(mesh, part, p, x, e)
     )(x, e_sharded, params)
+    assert edges_new.shape[0] == 8 and edges_new.ndim == 4
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
 
 
@@ -58,7 +59,7 @@ def test_halo_graph_conv_grads_flow():
     mesh = make_mesh(data=1, model=8)
 
     def loss(p, x):
-        return jnp.sum(halo_graph_conv(mesh, part, p, x, e_sharded) ** 2)
+        return jnp.sum(halo_graph_conv(mesh, part, p, x, e_sharded)[0] ** 2)
 
     gp, gx = jax.jit(jax.grad(loss, argnums=(0, 1)))(params, x)
     for kp, gleaf in jax.tree_util.tree_leaves_with_path(gp):

@@ -23,6 +23,7 @@ __all__ = [
     "octahedral_grid_nodes",
     "icosahedral_nodes",
     "morton_order",
+    "rcm_order",
     "reorder_nodes",
     "knn_edges",
     "cutoff_edges",
@@ -116,6 +117,25 @@ def morton_order(coords: np.ndarray, bits: int = 16) -> np.ndarray:
 
     key = (spread(lat) << np.uint64(1)) | spread(lon)
     return np.argsort(key, kind="stable")
+
+
+def rcm_order(edge_index: np.ndarray, num_nodes: int) -> np.ndarray:
+    """Bandwidth-minimizing (reverse Cuthill-McKee) node ordering.
+
+    Given an undirected-ish edge set (typically the *finest* mesh level —
+    multiscale long-range edges would blow the bandwidth and are excluded),
+    returns a permutation such that graph neighbors sit close in index space.
+    This is what makes the fused edge-attention kernel's contiguous
+    source-slab DMA possible: under fine-RCM, every 128-destination block of
+    the refinement-5 mesh draws its 1-ring sources from a ≤512-row window
+    (measured max span 450), versus ~5,000+ under a Z-curve.
+    """
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    src, dst = np.asarray(edge_index, dtype=np.int64)
+    a = csr_matrix((np.ones(len(src)), (src, dst)), shape=(num_nodes, num_nodes))
+    return np.asarray(reverse_cuthill_mckee(a, symmetric_mode=True), dtype=np.int64)
 
 
 def reorder_nodes(nodes: NodeSet, perm: np.ndarray) -> tuple[NodeSet, np.ndarray]:
@@ -276,8 +296,11 @@ def build_enc_proc_dec_graph(
     else:
         data_nodes = latlon_grid_nodes(grid_lat)
     hidden_nodes, face_levels = icosahedral_nodes(mesh_refinements)
-    # spatial (Z-curve) renumbering of mesh nodes for gather locality
-    perm = morton_order(hidden_nodes.coords)
+    # bandwidth-minimizing renumbering of mesh nodes (fine-level RCM) for
+    # gather locality and the edge-attention kernel's contiguous source slabs
+    perm = rcm_order(
+        _faces_to_bidirectional_edges(face_levels[-1]), hidden_nodes.num_nodes
+    )
     hidden_nodes, old_to_new = reorder_nodes(hidden_nodes, perm)
     face_levels = [old_to_new[f] for f in face_levels]
 

@@ -1,0 +1,157 @@
+"""Build-time layout plan for the fused Pallas edge-attention kernel.
+
+The kernel (``ops/pallas/edge_attention.py``) processes destination nodes in
+static blocks of ``block_nodes`` rows. For each block it DMAs one contiguous
+``slab_width``-row window of the source k/v tensors into VMEM and gathers
+neighbor rows from that window with one-hot matmuls on the MXU (Mosaic cannot
+vector-gather in VMEM, but it multiplies matrices just fine). That only works
+for edges whose source happens to fall inside the block's window — guaranteed
+for the 1-ring of a bandwidth-minimized (RCM-ordered) mesh, structurally false
+for the long-range multiscale levels. Edges that don't fit (out-of-window
+source or per-node degree beyond ``cap``) are *outliers*: the model runs them
+through the plain XLA segment path and merges the two attention partials
+exactly (see ``ops/dense_graph.py:merge_attention_partials``).
+
+Everything here is host-side numpy at model-build time; arrays are baked into
+the jitted program as constants. Replaces the role the reference's 1-hop edge
+sorting plays for its distributed GNN (``distributed/khop_edges.py:50-130``)
+— except the re-layout here feeds a kernel, not a process group.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = ["EdgeKernelPlan", "build_edge_kernel_plan"]
+
+
+@dataclass
+class EdgeKernelPlan:
+    """Static layout for one edge set. N = num_dst padded to block_nodes,
+    R = N * cap flattened (node, slot) rows."""
+
+    num_dst: int  # true destination count (pre-padding)
+    num_src: int
+    block_nodes: int  # destinations per kernel block
+    cap: int  # neighbor slots per destination (multiple of 8)
+    slab_width: int  # source rows DMA'd per block (multiple of 8)
+    slab_start: np.ndarray  # (num_blocks,) int32, clamped to [0, num_src - slab_width]
+    src_slab_idx: np.ndarray  # (R, 1) int32 — slab-local source row per slot
+    slot_mask: np.ndarray  # (R, 1) float32 — 1 for live slots, 0 for padding
+    edge_ids: np.ndarray  # (R,) int32 — global edge id per slot (0 where padded)
+    outlier_src: np.ndarray  # (E_out,) int32
+    outlier_dst: np.ndarray  # (E_out,) int32
+    outlier_edge_ids: np.ndarray  # (E_out,) int32
+
+    @property
+    def num_blocks(self) -> int:
+        return len(self.slab_start)
+
+    @property
+    def padded_dst(self) -> int:
+        return self.num_blocks * self.block_nodes
+
+    @property
+    def coverage(self) -> float:
+        """Fraction of edges handled in-kernel."""
+        total = int(self.slot_mask.sum()) + len(self.outlier_src)
+        return float(self.slot_mask.sum()) / max(total, 1)
+
+
+def _best_window(sorted_src: np.ndarray, num_src: int, width: int) -> int:
+    """Start of the width-wide window containing the most sources."""
+    if sorted_src.size == 0:
+        return 0
+    lo = np.searchsorted(sorted_src, sorted_src - width + 1, side="left")
+    best = int(np.argmax(np.arange(1, len(sorted_src) + 1) - lo))
+    start = int(sorted_src[best]) - width + 1
+    # slide left edge down to the window's actual smallest member
+    start = max(int(sorted_src[lo[best]]), start)
+    return int(np.clip(start, 0, max(num_src - width, 0)))
+
+
+def build_edge_kernel_plan(
+    edge_index: np.ndarray,
+    num_dst: int,
+    num_src: int,
+    *,
+    block_nodes: int = 128,
+    cap: int = 8,
+    slab_width: int = 512,
+) -> EdgeKernelPlan:
+    """Lay out a CSR-sorted edge set for the fused kernel.
+
+    Per destination block the ``slab_width`` window is chosen to maximize
+    in-window edge count; per destination, up to ``cap`` in-window edges get
+    slots and the rest spill to the outlier COO list.
+    """
+    assert cap % 8 == 0, "cap must be a multiple of 8 (sublane tile regrouping)"
+    assert slab_width % 8 == 0, "slab_width must be a multiple of 8"
+    src, dst = np.asarray(edge_index, dtype=np.int64)
+    assert np.all(np.diff(dst) >= 0), "edge_index must be CSR-sorted by destination"
+    slab_width = min(slab_width, max(8, -(-num_src // 8) * 8))
+
+    num_blocks = -(-num_dst // block_nodes)
+    padded_dst = num_blocks * block_nodes
+    rows = padded_dst * cap
+
+    slab_start = np.zeros(num_blocks, dtype=np.int32)
+    src_slab_idx = np.zeros((rows, 1), dtype=np.int32)
+    slot_mask = np.zeros((rows, 1), dtype=np.float32)
+    edge_ids = np.zeros(rows, dtype=np.int32)
+    out_src: list[np.ndarray] = []
+    out_dst: list[np.ndarray] = []
+    out_eid: list[np.ndarray] = []
+
+    starts = np.searchsorted(dst, np.arange(0, padded_dst + block_nodes, block_nodes))
+    all_eids = np.arange(len(src), dtype=np.int64)
+    for b in range(num_blocks):
+        e0, e1 = starts[b], starts[b + 1]
+        bsrc, bdst, beid = src[e0:e1], dst[e0:e1], all_eids[e0:e1]
+        start = _best_window(np.sort(bsrc), num_src, slab_width)
+        slab_start[b] = start
+        inside = (bsrc >= start) & (bsrc < start + slab_width)
+
+        # slot position of each in-window edge within its destination
+        bsel = np.nonzero(inside)[0]
+        dsel = bdst[bsel]
+        # stable order keeps CSR edge order within each destination
+        pos = np.zeros(len(bsel), dtype=np.int64)
+        uniq, first_idx, counts = np.unique(dsel, return_index=True, return_counts=True)
+        for u_i, (d0, c) in enumerate(zip(first_idx, counts)):
+            pos[d0 : d0 + c] = np.arange(c)
+        fits = pos < cap
+        take = bsel[fits]
+        r = dsel[fits] * cap + pos[fits]
+        src_slab_idx[r, 0] = (bsrc[take] - start).astype(np.int32)
+        slot_mask[r, 0] = 1.0
+        edge_ids[r] = beid[take].astype(np.int32)
+
+        spill = np.concatenate([bsel[~fits], np.nonzero(~inside)[0]])
+        if spill.size:
+            out_src.append(bsrc[spill])
+            out_dst.append(bdst[spill])
+            out_eid.append(beid[spill])
+
+    cat = lambda xs: (  # noqa: E731
+        np.concatenate(xs).astype(np.int32) if xs else np.zeros(0, dtype=np.int32)
+    )
+    o_src, o_dst, o_eid = cat(out_src), cat(out_dst), cat(out_eid)
+    order = np.argsort(o_dst, kind="stable")  # CSR-sort for the segment ops
+    o_src, o_dst, o_eid = o_src[order], o_dst[order], o_eid[order]
+    return EdgeKernelPlan(
+        num_dst=num_dst,
+        num_src=num_src,
+        block_nodes=block_nodes,
+        cap=cap,
+        slab_width=slab_width,
+        slab_start=slab_start,
+        src_slab_idx=src_slab_idx,
+        slot_mask=slot_mask,
+        edge_ids=edge_ids,
+        outlier_src=o_src,
+        outlier_dst=o_dst,
+        outlier_edge_ids=o_eid,
+    )

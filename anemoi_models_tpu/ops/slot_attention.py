@@ -1,0 +1,200 @@
+"""Slot-layout edge attention with exact two-source softmax merging.
+
+The TPU-native formulation of the GraphTransformer per-edge attention
+(reference ``layers/conv.py:79-142``) for bandwidth-ordered graphs:
+
+- **slot path**: destinations are processed in static blocks; each block's
+  neighbor sources live in one contiguous ``slab_width`` window of the source
+  tensor (``graphs/kernel_plan.py``). Neighbor k/v rows are materialized from
+  the slab by one-hot matmuls — MXU work instead of HBM gathers. The edge
+  bias ``q·e`` and value term ``Σ α·e`` factor through the *raw* edge
+  attributes (A ≈ 15 dims) because ``e = W_e·a`` is linear: only narrow
+  per-slot tensors are ever built.
+- **outlier path**: edges the plan could not place (long-range multiscale
+  levels, degree overflow) run as plain COO segment ops.
+- both paths emit softmax *partials* ``(num, den, m)`` that merge exactly, so
+  splitting the edge set never changes the result.
+
+``slot_attention_partials`` is the jnp twin of the Pallas kernel
+(``ops/pallas/edge_attention.py``) — same math, runs on any backend, and
+serves as the custom-vjp recompute path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anemoi_models_tpu.graphs.kernel_plan import EdgeKernelPlan
+from anemoi_models_tpu.ops.segment import segment_max, segment_sum
+
+__all__ = [
+    "AttentionPartials",
+    "slot_attention_partials",
+    "coo_attention_partials",
+    "merge_partials",
+    "finalize_partials",
+    "planned_edge_attention",
+]
+
+_NEG = -1e30
+
+
+class AttentionPartials(NamedTuple):
+    num: jnp.ndarray  # (N, H, D) fp32 — Σ exp(logit - m) · (v + e)
+    den: jnp.ndarray  # (N, H) fp32 — Σ exp(logit - m)
+    m: jnp.ndarray  # (N, H) fp32 — per-destination max logit (−1e30 if none)
+
+
+def _affine_from_closure(edge_transform, a_dim: int, num_heads: int, head_dim: int):
+    """Extract (W_aug) of the linear edge projection from its closure.
+
+    ``edge_transform: (..., A) -> (..., H, D)`` is affine in the attributes;
+    probing it with a basis recovers ``W`` and ``b`` as parameter-only
+    expressions XLA folds at compile time. Returns (A+1, H, D) with the bias
+    as the last row (the slot layout augments attributes with a ones column).
+    """
+    eye = jnp.concatenate([jnp.eye(a_dim), jnp.zeros((1, a_dim))], axis=0)  # (A+1, A)
+    probed = edge_transform(eye)  # (A+1, H, D): rows = W + b, last = b
+    b = probed[-1]
+    w = probed[:-1] - b[None]
+    return jnp.concatenate([w, b[None]], axis=0)  # (A+1, H, D)
+
+
+def slot_attention_partials(
+    query: jnp.ndarray,  # (N, H, D)
+    key: jnp.ndarray,  # (Ns, H, D)
+    value: jnp.ndarray,  # (Ns, H, D)
+    a_slots: jnp.ndarray,  # (R, A') raw edge attrs per slot (ones-augmented)
+    w_aug: jnp.ndarray,  # (A', H, D) edge projection (bias folded in)
+    plan: EdgeKernelPlan,
+) -> AttentionPartials:
+    """Blocked slot-layout attention partials (jnp; kernel-equivalent math)."""
+    n, h, d = query.shape
+    npad = plan.padded_dst
+    cap, nb = plan.cap, plan.block_nodes
+    scale = 1.0 / np.sqrt(d)
+
+    src_idx = jnp.asarray(plan.src_slab_idx[:, 0])  # (R,)
+    slab_start = jnp.asarray(plan.slab_start)  # (num_blocks,)
+    mask = jnp.asarray(plan.slot_mask[:, 0])  # (R,)
+
+    # global source row per slot; padded slots point at row 0 and are masked
+    block_of = jnp.arange(npad * cap) // (nb * cap)
+    gsrc = slab_start[block_of] + src_idx
+
+    k_n = jnp.take(key, gsrc, axis=0)  # (R, H, D)
+    v_n = jnp.take(value, gsrc, axis=0)
+    e_n = jnp.einsum("ra,ahd->rhd", a_slots, w_aug)  # (R, H, D)
+
+    qpad = jnp.pad(query, ((0, npad - n), (0, 0), (0, 0)))
+    q_rep = jnp.repeat(qpad, cap, axis=0)  # (R, H, D)
+
+    logits = jnp.einsum(
+        "rhd,rhd->rh", q_rep, k_n + e_n, preferred_element_type=jnp.float32
+    ) * scale
+    logits = jnp.where(mask[:, None] > 0, logits, _NEG)
+
+    lg = logits.reshape(npad, cap, h)
+    m = jnp.max(lg, axis=1)  # (Np, H)
+    w = jnp.exp(lg - m[:, None]) * jnp.asarray(plan.slot_mask[:, 0]).reshape(npad, cap)[..., None]
+    den = jnp.sum(w, axis=1)  # (Np, H)
+    contrib = (v_n + e_n).astype(jnp.float32).reshape(npad, cap, h, d)
+    num = jnp.einsum("nch,nchd->nhd", w, contrib)
+    return AttentionPartials(num=num[:n], den=den[:n], m=m[:n])
+
+
+def coo_attention_partials(
+    query: jnp.ndarray,  # (N, H, D)
+    key: jnp.ndarray,  # (Ns, H, D)
+    value: jnp.ndarray,  # (Ns, H, D)
+    e_proj: jnp.ndarray,  # (E, H, D) projected edge features for these edges
+    src: jnp.ndarray,  # (E,) int32
+    dst: jnp.ndarray,  # (E,) int32
+    num_dst: int,
+) -> AttentionPartials:
+    """Plain COO segment-op partials for edges outside the kernel plan."""
+    h, d = query.shape[-2:]
+    scale = 1.0 / np.sqrt(d)
+    q_i = jnp.take(query, dst, axis=0)
+    k_j = jnp.take(key, src, axis=0) + e_proj
+    v_j = jnp.take(value, src, axis=0) + e_proj
+    logits = jnp.einsum("ehd,ehd->eh", q_i, k_j, preferred_element_type=jnp.float32) * scale
+    m = segment_max(logits, dst, num_dst)  # (N, H); -inf where no edges
+    m = jnp.maximum(m, _NEG)
+    w = jnp.exp(logits - jnp.take(m, dst, axis=0))
+    den = segment_sum(w, dst, num_dst)
+    contrib = (w[..., None] * v_j.astype(jnp.float32)).reshape(len(src), h * d)
+    num = segment_sum(contrib, dst, num_dst).reshape(num_dst, h, d)
+    return AttentionPartials(num=num, den=den, m=m)
+
+
+def merge_partials(p1: AttentionPartials, p2: AttentionPartials) -> AttentionPartials:
+    """Exact combination of two disjoint-edge-set softmax partials."""
+    m = jnp.maximum(p1.m, p2.m)
+    f1 = jnp.where(p1.den > 0, jnp.exp(p1.m - m), 0.0)
+    f2 = jnp.where(p2.den > 0, jnp.exp(p2.m - m), 0.0)
+    return AttentionPartials(
+        num=p1.num * f1[..., None] + p2.num * f2[..., None],
+        den=p1.den * f1 + p2.den * f2,
+        m=m,
+    )
+
+
+def finalize_partials(p: AttentionPartials, out_dtype) -> jnp.ndarray:
+    """(num, den, m) -> attention output (N, H, D)."""
+    return (p.num / jnp.maximum(p.den, 1e-16)[..., None]).astype(out_dtype)
+
+
+def planned_edge_attention(
+    query: jnp.ndarray,  # (B, N, H, D)
+    key: jnp.ndarray,  # (B, Ns, H, D)
+    value: jnp.ndarray,  # (B, Ns, H, D)
+    edge_attr_raw: jnp.ndarray,  # (B, E, A) raw edge attributes
+    edge_transform,  # affine (..., A) -> (..., H, D)
+    plan: EdgeKernelPlan,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Full per-edge attention through the kernel plan.
+
+    Drop-in equivalent of the bucketed-table path for a planned edge set:
+    slot partials (Pallas kernel on TPU, jnp twin elsewhere) merged with the
+    COO outlier partials.
+    """
+    h, d = query.shape[-2:]
+    a_dim = edge_attr_raw.shape[-1]
+    w_aug = _affine_from_closure(edge_transform, a_dim, h, d)
+
+    # slot attributes: batch-invariant (trainable edge params repeat over
+    # batch), so build from batch element 0 and augment with the ones column
+    a0 = edge_attr_raw[0]
+    a_slots = jnp.take(a0, jnp.asarray(plan.edge_ids), axis=0)
+    a_slots = jnp.concatenate([a_slots, jnp.ones_like(a_slots[:, :1])], axis=-1)
+    a_slots = a_slots * jnp.asarray(plan.slot_mask)
+
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "reference"
+
+    def slot_fn(q, k, v):
+        if impl == "pallas":
+            from anemoi_models_tpu.ops.pallas.edge_attention import (
+                slot_attention_partials_pallas,
+            )
+
+            return slot_attention_partials_pallas(q, k, v, a_slots, w_aug, plan)
+        return slot_attention_partials(q, k, v, a_slots, w_aug, plan)
+
+    o_src = jnp.asarray(plan.outlier_src)
+    o_dst = jnp.asarray(plan.outlier_dst)
+    e_out = edge_transform(jnp.take(a0, jnp.asarray(plan.outlier_edge_ids), axis=0))
+
+    def one_batch(q, k, v):
+        p = slot_fn(q, k, v)
+        if len(plan.outlier_src):
+            p = merge_partials(p, coo_attention_partials(q, k, v, e_out, o_src, o_dst, plan.num_dst))
+        return finalize_partials(p, value.dtype)
+
+    return jax.vmap(one_batch)(query, key, value)

@@ -10,7 +10,7 @@ for the 1-ring of a bandwidth-minimized (RCM-ordered) mesh, structurally false
 for the long-range multiscale levels. Edges that don't fit (out-of-window
 source or per-node degree beyond ``cap``) are *outliers*: the model runs them
 through the plain XLA segment path and merges the two attention partials
-exactly (see ``ops/dense_graph.py:merge_attention_partials``).
+exactly (see ``ops/slot_attention.py:merge_partials``).
 
 Everything here is host-side numpy at model-build time; arrays are baked into
 the jitted program as constants. Replaces the role the reference's 1-hop edge
@@ -24,10 +24,10 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["EdgeKernelPlan", "build_edge_kernel_plan"]
+__all__ = ["EdgeKernelPlan", "build_edge_kernel_plan", "edge_set_kernel_plan"]
 
 
-@dataclass
+@dataclass(eq=False)  # identity hash: usable as static jit metadata
 class EdgeKernelPlan:
     """Static layout for one edge set. N = num_dst padded to block_nodes,
     R = N * cap flattened (node, slot) rows."""
@@ -69,7 +69,9 @@ def _best_window(sorted_src: np.ndarray, num_src: int, width: int) -> int:
     start = int(sorted_src[best]) - width + 1
     # slide left edge down to the window's actual smallest member
     start = max(int(sorted_src[lo[best]]), start)
-    return int(np.clip(start, 0, max(num_src - width, 0)))
+    start = int(np.clip(start, 0, max(num_src - width, 0)))
+    # sublane-tile alignment: Mosaic requires DMA slice starts divisible by 8
+    return (start // 8) * 8
 
 
 def build_edge_kernel_plan(
@@ -155,3 +157,30 @@ def build_edge_kernel_plan(
         outlier_dst=o_dst,
         outlier_edge_ids=o_eid,
     )
+
+
+def edge_set_kernel_plan(
+    edge_set,
+    num_dst: int,
+    num_src: int,
+    *,
+    block_nodes: int = 128,
+    cap: int = 8,
+    slab_width: int = 512,
+) -> EdgeKernelPlan:
+    """Cached :func:`build_edge_kernel_plan` for an EdgeSet (memo lives on
+    the instance, like the neighbor-table caches)."""
+    from anemoi_models_tpu.graphs.partition import _edge_set_cache
+
+    cache = _edge_set_cache(edge_set)
+    key = ("kernel_plan", num_dst, num_src, block_nodes, cap, slab_width)
+    if key not in cache:
+        cache[key] = build_edge_kernel_plan(
+            edge_set.edge_index,
+            num_dst,
+            num_src,
+            block_nodes=block_nodes,
+            cap=cap,
+            slab_width=slab_width,
+        )
+    return cache[key]

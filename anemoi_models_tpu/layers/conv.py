@@ -67,6 +67,13 @@ class GraphConv(nn.Module):
             + edge_attr
         )
         if tables is not None:
+            from anemoi_models_tpu.ops.slot_attention import PlannedTables
+
+            if isinstance(tables, PlannedTables):
+                raise ValueError(
+                    "graph_impl='pallas' applies to the GraphTransformer flavor only; "
+                    "use 'dense' or 'segment' for GraphConv layers"
+                )
             # TPU fast path: degree-bucketed gather + static-width masked
             # reductions instead of a scatter
             buckets, reassemble = tables
@@ -95,6 +102,13 @@ def graph_transformer_conv(
     path.
     """
     if tables is not None:
+        from anemoi_models_tpu.ops.slot_attention import PlannedTables, planned_edge_attention
+
+        if isinstance(tables, PlannedTables):
+            # fused slot-layout path (Pallas kernel on TPU, jnp twin elsewhere)
+            return planned_edge_attention(
+                query, key, value, edge_attr, edge_transform, tables.plan, impl=tables.impl
+            )
         buckets, reassemble = tables
         return bucketed_edge_attention(
             query, key, value, edge_attr, buckets, reassemble, edge_transform

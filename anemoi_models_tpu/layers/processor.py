@@ -52,8 +52,20 @@ def register_edges(
     return edge_attr, edge_index, edge_attr.shape[1] + trainable_size
 
 
-def _tables(sub_graph: EdgeSet, num_dst: int, graph_impl: str):
-    """Dense neighbor tables (TPU fast path) or None for the segment path."""
+def _tables(sub_graph: EdgeSet, num_dst: int, graph_impl: str, num_src: Optional[int] = None):
+    """Edge layout for the conv fast paths.
+
+    - "dense": degree-bucketed neighbor tables (XLA gather path)
+    - "pallas": slot-layout kernel plan (fused Pallas edge attention on TPU,
+      jnp twin elsewhere); GraphTransformer flavors only
+    - "segment": None (plain COO segment ops)
+    """
+    if graph_impl == "pallas":
+        from anemoi_models_tpu.graphs.kernel_plan import edge_set_kernel_plan
+        from anemoi_models_tpu.ops.slot_attention import PlannedTables
+
+        plan = edge_set_kernel_plan(sub_graph, num_dst, num_src or num_dst)
+        return PlannedTables(plan=plan, impl="auto")
     if graph_impl != "dense":
         return None
     buckets, reassemble = edge_set_bucketed_tables(sub_graph, num_dst)

@@ -33,6 +33,7 @@ from anemoi_models_tpu.ops.segment import segment_max, segment_sum
 
 __all__ = [
     "AttentionPartials",
+    "PlannedTables",
     "slot_attention_partials",
     "coo_attention_partials",
     "merge_partials",
@@ -47,6 +48,18 @@ class AttentionPartials(NamedTuple):
     num: jnp.ndarray  # (N, H, D) fp32 — Σ exp(logit - m) · (v + e)
     den: jnp.ndarray  # (N, H) fp32 — Σ exp(logit - m)
     m: jnp.ndarray  # (N, H) fp32 — per-destination max logit (−1e30 if none)
+
+
+@jax.tree_util.register_static
+class PlannedTables:
+    """Marker passed through the layer stack in place of bucketed tables when
+    an edge set should run through the kernel plan (``graph_impl="pallas"``).
+    Registered as a *static* pytree so it rides through nn.remat/jit as
+    compile-time metadata (the plan arrays are baked-in constants)."""
+
+    def __init__(self, plan: EdgeKernelPlan, impl: str = "auto"):
+        self.plan = plan
+        self.impl = impl
 
 
 def _affine_from_closure(edge_transform, a_dim: int, num_heads: int, head_dim: int):
@@ -178,23 +191,45 @@ def planned_edge_attention(
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "reference"
 
-    def slot_fn(q, k, v):
-        if impl == "pallas":
-            from anemoi_models_tpu.ops.pallas.edge_attention import (
-                slot_attention_partials_pallas,
-            )
-
-            return slot_attention_partials_pallas(q, k, v, a_slots, w_aug, plan)
-        return slot_attention_partials(q, k, v, a_slots, w_aug, plan)
-
     o_src = jnp.asarray(plan.outlier_src)
     o_dst = jnp.asarray(plan.outlier_dst)
     e_out = edge_transform(jnp.take(a0, jnp.asarray(plan.outlier_edge_ids), axis=0))
 
-    def one_batch(q, k, v):
-        p = slot_fn(q, k, v)
-        if len(plan.outlier_src):
-            p = merge_partials(p, coo_attention_partials(q, k, v, e_out, o_src, o_dst, plan.num_dst))
-        return finalize_partials(p, value.dtype)
+    def batched(q, k, v, a_slots, w_aug, e_out, slot_fn):
+        def one(q1, k1, v1):
+            p = slot_fn(q1, k1, v1, a_slots, w_aug)
+            if len(plan.outlier_src):
+                p = merge_partials(
+                    p, coo_attention_partials(q1, k1, v1, e_out, o_src, o_dst, plan.num_dst)
+                )
+            return finalize_partials(p, value.dtype)
 
-    return jax.vmap(one_batch)(query, key, value)
+        return jax.vmap(one)(q, k, v)
+
+    def ref_slot(q1, k1, v1, a_s, w_a):
+        return slot_attention_partials(q1, k1, v1, a_s, w_a, plan)
+
+    if impl != "pallas":
+        return batched(query, key, value, a_slots, w_aug, e_out, ref_slot)
+
+    from anemoi_models_tpu.ops.pallas.edge_attention import slot_attention_partials_pallas
+
+    def pallas_slot(q1, k1, v1, a_s, w_a):
+        return slot_attention_partials_pallas(q1, k1, v1, a_s, w_a, plan)
+
+    # kernel forward; backward recomputes through the jnp twin (same math,
+    # no wide HBM tensors in the forward) — mirrors ops/pallas/flash_attention
+    @jax.custom_vjp
+    def attn(q, k, v, a_s, w_a, e_o):
+        return batched(q, k, v, a_s, w_a, e_o, pallas_slot)
+
+    def attn_fwd(q, k, v, a_s, w_a, e_o):
+        return attn(q, k, v, a_s, w_a, e_o), (q, k, v, a_s, w_a, e_o)
+
+    def attn_bwd(res, g):
+        q, k, v, a_s, w_a, e_o = res
+        _, vjp = jax.vjp(lambda *args: batched(*args, ref_slot), q, k, v, a_s, w_a, e_o)
+        return vjp(g)
+
+    attn.defvjp(attn_fwd, attn_bwd)
+    return attn(query, key, value, a_slots, w_aug, e_out)

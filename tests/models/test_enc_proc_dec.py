@@ -217,3 +217,22 @@ def test_interface_predict_rollout(small_graph):
     # post-processed output at model-output width per lead time
     assert preds.shape == (n_steps, 1, 1, n_grid, 4)
     assert jnp.isfinite(preds).all()
+
+
+def test_graphtransformer_pallas_plan_matches_dense(small_graph):
+    """graph_impl='pallas' (slot plan + outlier merge; jnp twin on CPU)
+    reproduces the bucketed dense path at model level."""
+    cfg = make_config("graphtransformer")
+    di = IndexCollection(cfg, dict(VARS))
+    model_dense = AnemoiModelEncProcDec(model_config=cfg, data_indices=di, graph_data=small_graph)
+    cfg2 = make_config("graphtransformer")
+    cfg2.model.processor.graph_impl = "pallas"
+    di2 = IndexCollection(cfg2, dict(VARS))
+    model_plan = AnemoiModelEncProcDec(model_config=cfg2, data_indices=di2, graph_data=small_graph)
+
+    n_grid = small_graph["data"].num_nodes
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 2, 1, n_grid, 4), jnp.float32)
+    params = model_dense.init(jax.random.key(0), x)
+    ref = model_dense.apply(params, x)
+    out = model_plan.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=5e-4)

@@ -100,3 +100,20 @@ def test_planned_various_layouts(slab, cap):
     ref = graph_transformer_conv(q, k, v, e_proj, jnp.asarray(es.edge_index))
     out = planned_edge_attention(q, k, v, a_raw, edge_transform, plan, impl="reference")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-4)
+
+
+def test_pallas_kernel_interpret_matches_twin():
+    """The Pallas kernel (interpret mode on CPU) reproduces the jnp twin."""
+    from anemoi_models_tpu.ops.pallas.edge_attention import slot_attention_partials_pallas
+    from anemoi_models_tpu.ops.slot_attention import slot_attention_partials
+
+    _, es, plan, q, k, v, a_raw, edge_transform = _setup()
+    rng = np.random.RandomState(9)
+    R = plan.padded_dst * plan.cap
+    a_slots = jnp.asarray(rng.randn(R, A + 1), jnp.float32) * jnp.asarray(plan.slot_mask)
+    w_aug = jnp.asarray(rng.randn(A + 1, H, D) * 0.3, jnp.float32)
+    ref = slot_attention_partials(q[0], k[0], v[0], a_slots, w_aug, plan)
+    out = slot_attention_partials_pallas(q[0], k[0], v[0], a_slots, w_aug, plan, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref.num), np.asarray(out.num), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ref.den), np.asarray(out.den), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ref.m), np.asarray(out.m), atol=1e-4, rtol=1e-4)

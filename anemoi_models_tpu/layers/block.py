@@ -33,6 +33,19 @@ __all__ = [
     "GraphTransformerMapperBlock",
 ]
 
+import jax
+
+
+@jax.tree_util.register_static
+class HaloTables:
+    """Static marker routing a GraphTransformer conv to the halo-partitioned
+    execution (``parallel/halo_conv.halo_graph_transformer_conv``) — the
+    multi-chip default for self-graph processors under a >1 model axis."""
+
+    def __init__(self, part):
+        self.part = part
+
+
 def num_chunks_inference() -> int:
     """Edge-chunk count for inference, read from the environment at call time
     (matching the reference's per-call lookup, ``block.py:39``) so setting
@@ -222,6 +235,24 @@ class _GraphTransformerBase(nn.Module):
         With dense ``tables`` the scatter-free path is used unchunked (its
         live memory is already bounded by the padded degree).
         """
+        if isinstance(tables, HaloTables):
+            from anemoi_models_tpu.ops.slot_attention import _affine_from_closure
+            from anemoi_models_tpu.parallel.api import get_mesh
+            from anemoi_models_tpu.parallel.halo_conv import (
+                halo_graph_transformer_conv,
+                shard_edge_values,
+            )
+
+            mesh = get_mesh()
+            a0 = edges[0]  # raw edge attrs, batch-invariant
+            a_sh = shard_edge_values(a0, tables.part)  # (S, E_pad, A)
+            a_sh = jnp.concatenate([a_sh, jnp.ones_like(a_sh[..., :1])], axis=-1)
+            w_aug = _affine_from_closure(
+                edge_transform, a0.shape[-1], self.num_heads, self.out_channels_conv
+            ).astype(a_sh.dtype)
+            return halo_graph_transformer_conv(
+                mesh, tables.part, query, key, value, a_sh, w_aug
+            )
         if tables is not None or num_chunks <= 1:
             return graph_transformer_conv(
                 query, key, value, edges, edge_index, num_dst, tables, edge_transform
@@ -306,7 +337,16 @@ class GraphTransformerProcessorBlock(_GraphTransformerBase):
         qkvs = nn.Dense(4 * width, use_bias=self.bias, dtype=self.dtype, name="lin_qkvs")(x)
         query, key, value, x_r = jnp.split(qkvs, 4, axis=-1)
         lin_edge = self._edge_dense()
-        if tables is not None:
+        halo = isinstance(tables, HaloTables)
+        if halo:
+            # node axis stays sharded; the halo shard_map owns the layout
+            b_, n_ = x.shape[0], x.shape[1]
+            query, key, value = (
+                t.reshape(b_, n_, self.num_heads, self.out_channels_conv)
+                for t in (query, key, value)
+            )
+            edges = edge_attr
+        elif tables is not None:
             query, key, value = map(self._heads, (query, key, value))
             edges = edge_attr  # raw; projected per bucket after the narrow gather
         else:
@@ -319,7 +359,9 @@ class GraphTransformerProcessorBlock(_GraphTransformerBase):
             edge_transform=self._edge_transform(lin_edge) if tables is not None else None,
         )
         b, n = out.shape[0], out.shape[1]
-        out = constrain(out, ("data", None, "model", None)).reshape(b, n, self.out_channels)
+        if not halo:
+            out = constrain(out, ("data", None, "model", None))
+        out = out.reshape(b, n, self.out_channels)
         out = constrain(out, ("data", "model", None))
 
         out = nn.Dense(self.out_channels, dtype=self.dtype, name="projection")(out + x_r)

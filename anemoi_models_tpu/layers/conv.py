@@ -75,9 +75,12 @@ class GraphConv(nn.Module):
                     "use 'dense' or 'segment' for GraphConv layers"
                 )
             # TPU fast path: degree-bucketed gather + static-width masked
-            # reductions instead of a scatter
-            buckets, reassemble = tables
-            out = bucketed_neighbor_sum(edges_new, buckets, reassemble)
+            # reductions instead of a scatter (fwd AND bwd when transpose
+            # tables are present)
+            buckets, reassemble, *rest = tables
+            out = bucketed_neighbor_sum(
+                edges_new, buckets, reassemble, transpose=rest[0] if rest else None
+            )
         else:
             out = segment_sum(edges_new, edge_index[1], num_dst)
         return out, edges_new
@@ -109,9 +112,10 @@ def graph_transformer_conv(
             return planned_edge_attention(
                 query, key, value, edge_attr, edge_transform, tables.plan, impl=tables.impl
             )
-        buckets, reassemble = tables
+        buckets, reassemble, *rest = tables
         return bucketed_edge_attention(
-            query, key, value, edge_attr, buckets, reassemble, edge_transform
+            query, key, value, edge_attr, buckets, reassemble, edge_transform,
+            transpose=rest[0] if rest else None,
         )
     if num_dst is None:
         num_dst = query.shape[-3]

@@ -66,12 +66,14 @@ class _GraphTransformerBaseMapper(nn.Module):
         )(jnp.asarray(edge_attr_np, dtype=self.dtype), batch_size)
         return edge_attr, jnp.asarray(edge_index_np)
 
-    def _tables(self, num_dst: int):
+    def _tables(self, num_dst: int, num_src: int):
         if self.graph_impl != "dense":
             return None
-        buckets, reassemble = edge_set_bucketed_tables(self.sub_graph, num_dst)
-        buckets = [tuple(jnp.asarray(a) for a in b) for b in buckets]
-        return buckets, jnp.asarray(reassemble)
+        from anemoi_models_tpu.graphs.partition import edge_set_gather_tables
+        from anemoi_models_tpu.ops.dense_graph import GatherTables, TransposeBundle
+
+        buckets, reassemble, bundle = edge_set_gather_tables(self.sub_graph, num_dst, num_src)
+        return GatherTables(buckets, reassemble, TransposeBundle(bundle))
 
     def _block(self) -> nn.Module:
         # remat at the block boundary — the analogue of the model-level
@@ -98,7 +100,7 @@ class _GraphTransformerBaseMapper(nn.Module):
         edge_attr, edge_index = self._edges(batch_size)
         (x_src, x_dst), _ = self._block()(
             (x_src, x_dst), edge_attr, edge_index, x_dst.shape[-2], self.deterministic,
-            self._tables(x_dst.shape[-2]),
+            self._tables(x_dst.shape[-2], x_src.shape[-2]),
         )
         return x_src, x_dst
 
@@ -164,12 +166,14 @@ class _GNNBaseMapper(nn.Module):
     graph_impl: str = "dense"
     dtype: jnp.dtype = jnp.float32
 
-    def _tables(self, num_dst: int):
+    def _tables(self, num_dst: int, num_src: int):
         if self.graph_impl != "dense":
             return None
-        buckets, reassemble = edge_set_bucketed_tables(self.sub_graph, num_dst)
-        buckets = [tuple(jnp.asarray(a) for a in b) for b in buckets]
-        return buckets, jnp.asarray(reassemble)
+        from anemoi_models_tpu.graphs.partition import edge_set_gather_tables
+        from anemoi_models_tpu.ops.dense_graph import GatherTables, TransposeBundle
+
+        buckets, reassemble, bundle = edge_set_gather_tables(self.sub_graph, num_dst, num_src)
+        return GatherTables(buckets, reassemble, TransposeBundle(bundle))
 
     def _edges(self, batch_size: int) -> tuple[jnp.ndarray, jnp.ndarray]:
         edge_attr_np, edge_index_np, _ = register_edges(
@@ -231,7 +235,7 @@ class GNNForwardMapper(_GNNBaseMapper):
         x_src = MLP(**mlp_kw, name="emb_nodes_src")(constrain(x_src_in, ("data", "model", None)))
         x_dst = MLP(**mlp_kw, name="emb_nodes_dst")(constrain(x_dst_in, ("data", "model", None)))
         (x_src, x_dst), _ = self._block(update_src_nodes=True)(
-            (x_src, x_dst), edge_attr, edge_index, x_dst.shape[-2], self._tables(x_dst.shape[-2])
+            (x_src, x_dst), edge_attr, edge_index, x_dst.shape[-2], self._tables(x_dst.shape[-2], x_src.shape[-2])
         )
         return x_src, x_dst
 
@@ -247,7 +251,7 @@ class GNNBackwardMapper(_GNNBaseMapper):
         batch_size = batch_size or x_src.shape[0]
         edge_attr, edge_index = self._edges(batch_size)
         (_, x_dst), _ = self._block(update_src_nodes=False)(
-            (x_src, x_dst), edge_attr, edge_index, x_dst.shape[-2], self._tables(x_dst.shape[-2])
+            (x_src, x_dst), edge_attr, edge_index, x_dst.shape[-2], self._tables(x_dst.shape[-2], x_src.shape[-2])
         )
         # node_data_extractor MLP without final LN/activation (mapper.py:680-688)
         x_dst = MLP(

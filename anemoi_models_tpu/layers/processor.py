@@ -52,14 +52,38 @@ def register_edges(
     return edge_attr, edge_index, edge_attr.shape[1] + trainable_size
 
 
-def _tables(sub_graph: EdgeSet, num_dst: int, graph_impl: str, num_src: Optional[int] = None):
+def _tables(
+    sub_graph: EdgeSet,
+    num_dst: int,
+    graph_impl: str,
+    num_src: Optional[int] = None,
+    allow_halo: bool = False,
+):
     """Edge layout for the conv fast paths.
 
     - "dense": degree-bucketed neighbor tables (XLA gather path)
     - "pallas": slot-layout kernel plan (fused Pallas edge attention on TPU,
       jnp twin elsewhere); GraphTransformer flavors only
     - "segment": None (plain COO segment ops)
+
+    With ``allow_halo`` (self-graph GraphTransformer processors), an active
+    mesh with a >1 ``model`` axis routes to the halo-partitioned conv by
+    default — O(boundary) exchange instead of GSPMD's full k/v gathers.
     """
+    if allow_halo and graph_impl in ("dense", "pallas", "halo"):
+        from anemoi_models_tpu.parallel.api import get_mesh
+
+        mesh = get_mesh()
+        if mesh is not None and "model" in mesh.axis_names and mesh.shape["model"] > 1:
+            from anemoi_models_tpu.graphs.partition import _edge_set_cache, partition_1hop
+            from anemoi_models_tpu.layers.block import HaloTables
+
+            shards = mesh.shape["model"]
+            cache = _edge_set_cache(sub_graph)
+            key = ("halo_part", num_dst, shards)
+            if key not in cache:
+                cache[key] = partition_1hop(sub_graph.edge_index, num_dst, shards)
+            return HaloTables(part=cache[key])
     if graph_impl == "pallas":
         from anemoi_models_tpu.graphs.kernel_plan import edge_set_kernel_plan
         from anemoi_models_tpu.ops.slot_attention import PlannedTables
@@ -68,9 +92,11 @@ def _tables(sub_graph: EdgeSet, num_dst: int, graph_impl: str, num_src: Optional
         return PlannedTables(plan=plan, impl="auto")
     if graph_impl != "dense":
         return None
-    buckets, reassemble = edge_set_bucketed_tables(sub_graph, num_dst)
-    buckets = [tuple(jnp.asarray(a) for a in b) for b in buckets]
-    return buckets, jnp.asarray(reassemble)
+    from anemoi_models_tpu.graphs.partition import edge_set_gather_tables
+    from anemoi_models_tpu.ops.dense_graph import GatherTables, TransposeBundle
+
+    buckets, reassemble, bundle = edge_set_gather_tables(sub_graph, num_dst, num_src or num_dst)
+    return GatherTables(buckets, reassemble, TransposeBundle(bundle))
 
 
 def _remat(module_class, remat_policy: str, cpu_offload: bool = False):
@@ -222,7 +248,7 @@ class GraphTransformerProcessor(nn.Module):
             tensor_size=edge_attr_np.shape[0], trainable_size=self.trainable_size, name="trainable"
         )(jnp.asarray(edge_attr_np, dtype=self.dtype), batch_size)
         edge_index = jnp.asarray(edge_index_np)
-        tables = _tables(self.sub_graph, x.shape[-2], self.graph_impl)
+        tables = _tables(self.sub_graph, x.shape[-2], self.graph_impl, allow_halo=True)
 
         Chunk = _remat(GraphTransformerProcessorChunk, self.remat_policy, self.cpu_offload)
         for c in range(self.num_chunks):

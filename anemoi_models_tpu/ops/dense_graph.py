@@ -11,9 +11,90 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
-__all__ = ["gather_edges", "masked_neighbor_sum", "dense_edge_attention"]
+__all__ = [
+    "gather_edges",
+    "masked_neighbor_sum",
+    "dense_edge_attention",
+    "TransposeBundle",
+    "take_rows",
+]
+
+
+@jax.tree_util.register_static
+class TransposeBundle:
+    """Static carrier for the host-side adjoint layout
+    (``graphs.partition.bucketed_transpose_bundle``): rides through
+    jit/remat as compile-time metadata."""
+
+    def __init__(self, bundle: dict):
+        self.per_bucket = bundle["per_bucket"]
+        self.node_concat = bundle["node_concat"]
+        self.num_src = bundle["num_src"]
+
+
+@jax.tree_util.register_static
+class GatherTables:
+    """Static (host-side numpy) bucketed-table set for one edge layout.
+
+    Static rather than traced because the transpose-adjoint ``custom_vjp``
+    closures must capture the index arrays as compile-time constants — a
+    traced index array leaking into a custom_vjp closure is an
+    UnexpectedTracerError. Supports tuple-style indexing for the
+    ``(buckets, reassemble)`` call sites."""
+
+    def __init__(self, buckets, reassemble, transpose: "TransposeBundle | None" = None):
+        self.buckets = buckets
+        self.reassemble = reassemble
+        self.transpose = transpose
+
+    def __getitem__(self, i: int):
+        return (self.buckets, self.reassemble, self.transpose)[i]
+
+    def __iter__(self):
+        return iter((self.buckets, self.reassemble, self.transpose))
+
+
+def take_rows(x: jnp.ndarray, ids, axis: int, adjoint=None) -> jnp.ndarray:
+    """``jnp.take`` whose backward is a custom gather instead of XLA's
+    scatter-add (serialized on TPU). ``adjoint(g) -> grad_x`` must implement
+    the transpose-gather; with ``adjoint=None`` this is plain ``jnp.take``."""
+    if adjoint is None:
+        return jnp.take(x, ids, axis=axis)
+
+    @jax.custom_vjp
+    def f(xx):
+        return jnp.take(xx, ids, axis=axis)
+
+    f.defvjp(lambda xx: (f(xx), None), lambda _, g: (adjoint(g).astype(x.dtype),))
+    return f(x)
+
+
+def _masked_pos_take(g: jnp.ndarray, pos, num_rows: int, axis: int) -> jnp.ndarray:
+    """Gather rows of ``g`` at ``pos`` (−1 → zero row): the adjoint of a
+    one-use-per-row gather (edge/query gathers)."""
+    pos = jnp.asarray(pos)
+    safe = jnp.where(pos >= 0, pos, 0)
+    out = jnp.take(g, safe, axis=axis)
+    shape = [1] * out.ndim
+    shape[axis] = num_rows
+    return out * (pos >= 0).reshape(shape)
+
+
+def _transpose_sum(g_flat: jnp.ndarray, t_tables, num_src: int) -> jnp.ndarray:
+    """Adjoint of a many-uses-per-row gather: bucketed masked position-sum
+    over the cotangent slots. ``g_flat`` (..., P, C) -> (..., num_src, C)."""
+    t_buckets, t_reassemble = t_tables
+    outs = []
+    # table layout is (row_ids, pair_ids, positions, mask): the gathered-slot
+    # positions live in the src column of the transposed pair list
+    for _, _, pos_tab, mask in t_buckets:
+        got = jnp.take(g_flat, jnp.asarray(pos_tab), axis=-2)
+        outs.append(jnp.where(jnp.asarray(mask)[..., None], got, 0).sum(axis=-2))
+    cat = jnp.concatenate(outs, axis=-2)
+    return jnp.take(cat, jnp.asarray(t_reassemble), axis=-2)
 
 
 def gather_edges(x_edges: jnp.ndarray, edge_ids: jnp.ndarray) -> jnp.ndarray:
@@ -76,18 +157,36 @@ def dense_edge_attention(
 
 
 def bucketed_neighbor_sum(
-    x_edges: jnp.ndarray, buckets, reassemble: jnp.ndarray
+    x_edges: jnp.ndarray, buckets, reassemble: jnp.ndarray, transpose=None
 ) -> jnp.ndarray:
     """Sum per-edge values into destinations using degree-bucketed tables.
 
     x_edges (..., E, C); returns (..., num_dst, C). Pure gathers + static
-    reductions — no scatter, and no padding to the global max degree.
+    reductions — no scatter, and no padding to the global max degree. With a
+    :class:`TransposeBundle` the backward is also gather-only.
     """
+    num_edges = x_edges.shape[-2]
     outs = []
-    for _, edge_ids, _, mask in buckets:
-        g = jnp.take(x_edges, edge_ids, axis=-2)  # (..., nb, cap, C)
+    for i, (_, edge_ids, _, mask) in enumerate(buckets):
+        adjoint = None
+        if transpose is not None:
+            poe = transpose.per_bucket[i]["pos_of_edge"]
+            nb, cap = edge_ids.shape
+
+            def adjoint(g, poe=poe, nb=nb, cap=cap):
+                gf = g.reshape(*g.shape[:-3], nb * cap, g.shape[-1])
+                return _masked_pos_take(gf, poe, num_edges, axis=-2)
+
+        g = take_rows(x_edges, edge_ids, -2, adjoint)  # (..., nb, cap, C)
         outs.append(jnp.where(mask[..., None], g, 0).sum(axis=-2))
     cat = jnp.concatenate(outs, axis=-2)
+    if transpose is not None:
+        nc = transpose.node_concat
+
+        def re_adjoint(g, nc=nc):
+            return jnp.take(g, jnp.asarray(nc), axis=-2)
+
+        return take_rows(cat, reassemble, -2, re_adjoint)
     return jnp.take(cat, reassemble, axis=-2)
 
 
@@ -99,6 +198,7 @@ def bucketed_edge_attention(
     buckets,
     reassemble: jnp.ndarray,
     edge_transform=None,
+    transpose=None,
 ) -> jnp.ndarray:
     """Per-edge attention over degree-bucketed tables.
 
@@ -112,16 +212,42 @@ def bucketed_edge_attention(
     ``edge_transform: (..., cap, A) -> (..., cap, H, D)``. Projecting after
     the gather keeps the E-wide projected tensor out of HBM entirely.
     """
+    num_edges = None if edge_attr is None else edge_attr.shape[-2 if edge_transform is not None else -3]
     outs = []
-    for node_ids, edge_ids, src_ids, mask in buckets:
-        q_b = jnp.take(query, node_ids, axis=-3)  # (B, nb, H, D)
-        k_n = jnp.take(key, src_ids, axis=-3)  # (B, nb, cap, H, D)
-        v_n = jnp.take(value, src_ids, axis=-3)
+    for i, (node_ids, edge_ids, src_ids, mask) in enumerate(buckets):
+        adj_q = adj_src = adj_e2 = adj_e3 = None
+        if transpose is not None:
+            tb = transpose.per_bucket[i]
+            nb, cap = src_ids.shape
+            num_src = transpose.num_src
+            num_dst = len(transpose.node_concat)
+
+            def adj_q(g, pon=tb["pos_of_node"], nd=num_dst):
+                # query rows appear at most once per bucket
+                return _masked_pos_take(g, pon, nd, axis=-3)
+
+            def adj_src(g, t=tb["t_src"], nb=nb, cap=cap, ns=num_src):
+                h, d = g.shape[-2:]
+                gf = g.reshape(*g.shape[:-4], nb * cap, h * d)
+                return _transpose_sum(gf, t, ns).reshape(*g.shape[:-4], ns, h, d)
+
+            def adj_e2(g, poe=tb["pos_of_edge"], nb=nb, cap=cap, ne=num_edges):
+                gf = g.reshape(*g.shape[:-3], nb * cap, g.shape[-1])
+                return _masked_pos_take(gf, poe, ne, axis=-2)
+
+            def adj_e3(g, poe=tb["pos_of_edge"], nb=nb, cap=cap, ne=num_edges):
+                h, d = g.shape[-2:]
+                gf = g.reshape(*g.shape[:-4], nb * cap, h, d)
+                return _masked_pos_take(gf, poe, ne, axis=-3)
+
+        q_b = take_rows(query, node_ids, -3, adj_q)  # (B, nb, H, D)
+        k_n = take_rows(key, src_ids, -3, adj_src)  # (B, nb, cap, H, D)
+        v_n = take_rows(value, src_ids, -3, adj_src)
         if edge_attr is not None:
             if edge_transform is not None:
-                e_n = edge_transform(jnp.take(edge_attr, edge_ids, axis=-2))
+                e_n = edge_transform(take_rows(edge_attr, edge_ids, -2, adj_e2))
             else:
-                e_n = jnp.take(edge_attr, edge_ids, axis=-3)
+                e_n = take_rows(edge_attr, edge_ids, -3, adj_e3)
             k_n = k_n + e_n
             v_n = v_n + e_n
 
@@ -140,4 +266,11 @@ def bucketed_edge_attention(
         alpha = (w / denom).astype(value.dtype)
         outs.append((v_n * alpha[..., None]).sum(axis=-3))
     cat = jnp.concatenate(outs, axis=-3)
+    if transpose is not None:
+        nc = transpose.node_concat
+
+        def re_adjoint(g, nc=nc):
+            return jnp.take(g, jnp.asarray(nc), axis=-3)
+
+        return take_rows(cat, reassemble, -3, re_adjoint)
     return jnp.take(cat, reassemble, axis=-3)

@@ -199,11 +199,14 @@ def planned_edge_attention(
         def one(q1, k1, v1):
             p = slot_fn(q1, k1, v1, a_slots, w_aug)
             if len(plan.outlier_src):
+                e1 = e_out[0] if e_out.ndim == 4 else e_out
                 p = merge_partials(
-                    p, coo_attention_partials(q1, k1, v1, e_out, o_src, o_dst, plan.num_dst)
+                    p, coo_attention_partials(q1, k1, v1, e1, o_src, o_dst, plan.num_dst)
                 )
             return finalize_partials(p, value.dtype)
 
+        if q.shape[0] == 1:  # no vmap wrapper around the kernel for B=1
+            return one(q[0], k[0], v[0])[None]
         return jax.vmap(one)(q, k, v)
 
     def ref_slot(q1, k1, v1, a_s, w_a):

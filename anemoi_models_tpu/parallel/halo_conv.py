@@ -27,7 +27,12 @@ from anemoi_models_tpu.layers.utils import get_activation
 from anemoi_models_tpu.ops.segment import segment_sum
 from anemoi_models_tpu.parallel.halo import pad_nodes, unpad_nodes
 
-__all__ = ["graph_conv_params", "halo_graph_conv", "shard_edge_values"]
+__all__ = [
+    "graph_conv_params",
+    "halo_graph_conv",
+    "halo_graph_transformer_conv",
+    "shard_edge_values",
+]
 
 
 def graph_conv_params(
@@ -132,3 +137,102 @@ def shard_edge_values(values: jnp.ndarray, part: HaloPartition) -> jnp.ndarray:
     if values.ndim == 2:
         return gathered
     return jnp.moveaxis(gathered, -3, 0)
+
+
+def halo_graph_transformer_conv(
+    mesh: Mesh,
+    part: HaloPartition,
+    query: jnp.ndarray,  # (B, N, H, D) destination-node queries
+    key: jnp.ndarray,  # (B, N, H, D)
+    value: jnp.ndarray,  # (B, N, H, D)
+    a_sharded: jnp.ndarray,  # (S, E_pad, A') raw edge attrs in shard layout
+    w_aug: jnp.ndarray,  # (A', H, D) affine edge projection (bias folded)
+    axis: str = "model",
+) -> jnp.ndarray:
+    """Per-edge attention on a self-graph under 1-hop halo exchange.
+
+    The multi-chip answer to the reference's full-node all-gather before each
+    graph-attention layer (``layers/block.py:203``): nodes are contiguously
+    sharded by destination, each shard receives only the O(boundary) halo
+    pool, and — because edges are partitioned by destination — the per-node
+    softmax is complete within a shard (no cross-shard merge needed).
+    Edge features are projected shard-locally from the narrow raw attributes.
+    """
+    b, n, h, d = query.shape
+    bc = jnp.asarray(part.boundary_contrib)
+    hs = jnp.asarray(part.halo_select)
+    hm = jnp.asarray(part.halo_mask)
+    le = jnp.asarray(part.local_edges)
+    em = jnp.asarray(part.edge_mask)
+    scale = 1.0 / (d**0.5)
+
+    def flat_pad(t):
+        return pad_nodes(t.reshape(b, n, h * d), part)
+
+    q_pad, k_pad, v_pad = flat_pad(query), flat_pad(key), flat_pad(value)
+
+    def local(q_blk, k_blk, v_blk, bc_blk, hs_blk, hm_blk, le_blk, em_blk, a_blk, w):
+        nps = part.nodes_per_shard
+
+        def ext(t_blk):
+            contrib = jnp.take(t_blk, bc_blk[0], axis=1)
+            pool = jax.lax.all_gather(contrib, axis, axis=1, tiled=True)
+            halo = jnp.take(pool, hs_blk[0], axis=1) * hm_blk[0][None, :, None].astype(t_blk.dtype)
+            return jnp.concatenate([t_blk, halo], axis=1)
+
+        k_ext = ext(k_blk).reshape(b, -1, h, d)
+        v_ext = ext(v_blk).reshape(b, -1, h, d)
+        q_loc = q_blk.reshape(b, nps, h, d)
+
+        edges = le_blk[0]  # (E_pad, 2) [src_ext, dst_local]
+        emask = em_blk[0]  # (E_pad,)
+        e = jnp.einsum("ea,ahd->ehd", a_blk[0], w)  # shard-local projection
+
+        q_i = jnp.take(q_loc, edges[:, 1], axis=1)
+        k_j = jnp.take(k_ext, edges[:, 0], axis=1) + e[None]
+        v_j = jnp.take(v_ext, edges[:, 0], axis=1) + e[None]
+        logits = jnp.einsum(
+            "behd,behd->beh", q_i, k_j, preferred_element_type=jnp.float32
+        ) * scale
+        logits = jnp.where(emask[None, :, None], logits, -1e30)
+        alpha = _segment_softmax_local(logits, edges[:, 1], nps)
+        msg = (v_j.astype(jnp.float32) * alpha[..., None]) * emask[None, :, None, None]
+        out = segment_sum(
+            msg.reshape(b, -1, h * d), edges[:, 1], nps, indices_are_sorted=False
+        )
+        return out.astype(q_blk.dtype)
+
+    run = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis, None),
+            P(None, axis, None),
+            P(None, axis, None),
+            P(axis, None),
+            P(axis, None),
+            P(axis, None),
+            P(axis, None, None),
+            P(axis, None),
+            P(axis, None, None),
+            P(),
+        ),
+        out_specs=P(None, axis, None),
+    )
+    out = run(q_pad, k_pad, v_pad, bc, hs, hm, le, em, a_sharded, w_aug)
+    return unpad_nodes(out, part).reshape(b, n, h, d)
+
+
+def _segment_softmax_local(logits: jnp.ndarray, dst: jnp.ndarray, num_dst: int) -> jnp.ndarray:
+    """fp32 segment softmax over an unsorted shard-local edge list."""
+    m = jax.ops.segment_max(
+        jnp.moveaxis(logits, 0, -1), dst, num_segments=num_dst, indices_are_sorted=False
+    )
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    shifted = logits - jnp.moveaxis(jnp.take(m, dst, axis=0), -1, 0)
+    ex = jnp.exp(shifted)
+    z = jax.ops.segment_sum(
+        jnp.moveaxis(ex, 0, -1), dst, num_segments=num_dst, indices_are_sorted=False
+    )
+    denom = jnp.moveaxis(jnp.take(z, dst, axis=0), -1, 0)
+    return ex / jnp.maximum(denom, 1e-16)

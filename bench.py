@@ -43,6 +43,7 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     remat = os.environ.get("BENCH_REMAT", "full")  # full | save_dots | none
     flavor = os.environ.get("BENCH_FLAVOR", "graphtransformer")  # | gnn | transformer
+    graph_impl = os.environ.get("BENCH_GRAPH_IMPL") or None  # dense | pallas | segment
 
     model, x, n_out = _build(
         grid_lat=grid_lat,
@@ -54,6 +55,7 @@ def main() -> None:
         remat_policy=remat,
         flavor=flavor,
         batch_size=batch,
+        graph_impl=graph_impl,
     )
     n_grid = x.shape[3]
 
@@ -117,7 +119,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"enc-proc-dec[{flavor}] {'train-step' if mode == 'train' else 'fwd'} "
+                "metric": f"enc-proc-dec[{flavor}{'/' + graph_impl if graph_impl else ''}] {'train-step' if mode == 'train' else 'fwd'} "
                 f"grid-points/s/chip ({'O' + str(grid_lat) if grid == 'octahedral' else 'latlon'}"
                 f" grid={n_grid}, B={batch}, mesh_r{refinements}, C={channels}, L={layers}, {dtype})",
                 "value": round(gps, 1),

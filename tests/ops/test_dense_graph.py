@@ -106,3 +106,52 @@ def test_dense_grad_matches_segment_grad(graph):
         lambda k_: jnp.sum(graph_transformer_conv(q, k_, v, None, ei, n, tables=tables) ** 2)
     )(k)
     np.testing.assert_allclose(np.asarray(g_dense), np.asarray(g_ref), atol=1e-4, rtol=1e-3)
+
+
+def test_transpose_adjoint_grads_match_and_scatter_free():
+    """With a TransposeBundle, bucketed-attention grads equal the plain path
+    and the compiled backward contains no scatter op at all."""
+    from anemoi_models_tpu.graphs import build_enc_proc_dec_graph
+    from anemoi_models_tpu.graphs.partition import edge_set_gather_tables
+    from anemoi_models_tpu.ops.dense_graph import (
+        GatherTables,
+        TransposeBundle,
+        bucketed_edge_attention,
+        bucketed_neighbor_sum,
+    )
+
+    g = build_enc_proc_dec_graph(grid_lat=6, mesh_refinements=2)
+    es = g[("hidden", "to", "hidden")]
+    n = g["hidden"].num_nodes
+    buckets, reassemble, bundle = edge_set_gather_tables(es, n, n)
+    tb = TransposeBundle(bundle)
+    H, D = 4, 8
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, n, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(2, n, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(2, n, H, D), jnp.float32)
+    e = jnp.asarray(rng.randn(2, es.num_edges, H, D), jnp.float32)
+
+    def loss(q, k, v, e, transpose):
+        return jnp.sum(
+            bucketed_edge_attention(q, k, v, e, buckets, reassemble, transpose=transpose) ** 2
+        )
+
+    g_plain = jax.grad(lambda *a: loss(*a, None), argnums=(0, 1, 2, 3))(q, k, v, e)
+    g_t = jax.grad(lambda *a: loss(*a, tb), argnums=(0, 1, 2, 3))(q, k, v, e)
+    for name, a, b in zip("qkve", g_plain, g_t):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4, err_msg=name)
+
+    hlo = jax.jit(jax.grad(lambda *a: loss(*a, tb), argnums=(0, 1, 2, 3))).lower(q, k, v, e).compile()
+    text = hlo.as_text()
+    assert "scatter(" not in text, "transpose-adjoint backward must be scatter-free"
+
+    # neighbor_sum flavor too
+    def loss2(e, transpose):
+        return jnp.sum(bucketed_neighbor_sum(e[..., 0, :], buckets, reassemble, transpose) ** 2)
+
+    ge_plain = jax.grad(lambda e: loss2(e, None))(e)
+    ge_t = jax.grad(lambda e: loss2(e, tb))(e)
+    np.testing.assert_allclose(np.asarray(ge_plain), np.asarray(ge_t), atol=1e-4, rtol=1e-4)
+    text2 = jax.jit(jax.grad(lambda e: loss2(e, tb))).lower(e).compile().as_text()
+    assert "scatter(" not in text2

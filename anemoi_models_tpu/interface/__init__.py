@@ -135,7 +135,10 @@ class AnemoiModelInterface:
         x0 = pre[:, 0 : self.multi_step, None, ...]
         rollout = self.make_rollout_fn(n_steps)
         _, preds = rollout(params, x0, forcings)
-        return jnp.stack([self.post_processors(p, in_place=False) for p in preds])
+        # every post-processor is per-(grid, variable) and broadcasts over
+        # leading dims: one vectorized pass over all lead times, not a
+        # host-visible Python loop per step
+        return self.post_processors(preds, in_place=False)
 
     # -- checkpointing ---------------------------------------------------
     def save(self, path: str, opt_state=None, step: Optional[int] = None) -> str:

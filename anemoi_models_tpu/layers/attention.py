@@ -52,7 +52,20 @@ class MultiHeadSelfAttention(nn.Module):
         drop_rate = self.dropout_p if not deterministic else 0.0
         drop_rng = self.make_rng("dropout") if drop_rate > 0.0 else None
         mesh = get_mesh()
-        if self.attention_impl == "halo":
+        impl = self.attention_impl
+        if (
+            impl == "auto"
+            and self.window_size is not None
+            and drop_rate == 0.0
+            and mesh is not None
+            and "model" in mesh.axis_names
+            and mesh.shape["model"] > 1
+        ):
+            # sequence-parallel default: windowed attention under a model axis
+            # exchanges only +-window halos (ppermute) instead of the two
+            # Ulysses all-to-alls
+            impl = "halo"
+        if impl == "halo":
             if drop_rate > 0.0:
                 raise NotImplementedError(
                     "halo attention does not support attention-weight dropout; "
@@ -84,7 +97,7 @@ class MultiHeadSelfAttention(nn.Module):
                 value,
                 window_size=self.window_size,
                 is_causal=self.is_causal,
-                impl=self.attention_impl,
+                impl=impl,
                 dropout_rate=drop_rate,
                 dropout_rng=drop_rng,
             )

@@ -8,9 +8,10 @@ the ring neighbors — two ``ppermute`` sends of O(w) payload instead of
 all-to-alls of O(N). This is SURVEY.md §5's "TPU-native answer" to the
 reference's long-context machinery.
 
-Requires: N divisible by the model-axis size, and window_size <= shard
-length. Output is bitwise-equivalent to global windowed attention up to
-reduction order.
+Sequences that do not divide the model axis are zero-padded internally (the
+position mask keeps padded keys out of every softmax) — callers never need
+divisibility. ``window_size`` must fit in one (padded) shard. Output is
+bitwise-equivalent to global windowed attention up to reduction order.
 """
 
 from __future__ import annotations
@@ -60,8 +61,13 @@ def halo_window_attention(
     """
     n = q.shape[-2]
     size = mesh.shape[axis]
-    assert n % size == 0, f"sequence ({n}) must divide the {axis} axis ({size})"
-    shard_len = n // size
+    n_pad = -(-n // size) * size
+    if n_pad != n:
+        # auto-pad to divisibility; the (kpos < n_total) mask in the local
+        # attention excludes padded keys, and padded query rows are cropped
+        pad = ((0, 0), (0, 0), (0, n_pad - n), (0, 0))
+        q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+    shard_len = n_pad // size
     assert window_size <= shard_len, (
         f"window ({window_size}) must fit in one shard ({shard_len}); "
         "use more halo hops or fewer shards otherwise"
@@ -88,4 +94,5 @@ def halo_window_attention(
 
         return _local_window_attention(q_blk, halo(k_blk), halo(v_blk), w, n, shard_len, axis)
 
-    return run(q, k, v)
+    out = run(q, k, v)
+    return out[..., :n, :] if n_pad != n else out

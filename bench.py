@@ -44,6 +44,7 @@ def main() -> None:
     remat = os.environ.get("BENCH_REMAT", "full")  # full | save_dots | none
     flavor = os.environ.get("BENCH_FLAVOR", "graphtransformer")  # | gnn | transformer
     graph_impl = os.environ.get("BENCH_GRAPH_IMPL") or None  # dense | pallas | segment
+    attention_impl = os.environ.get("BENCH_ATTN_IMPL") or None  # pallas | chunked | reference
 
     model, x, n_out = _build(
         grid_lat=grid_lat,
@@ -56,6 +57,7 @@ def main() -> None:
         flavor=flavor,
         batch_size=batch,
         graph_impl=graph_impl,
+        attention_impl=attention_impl,
     )
     n_grid = x.shape[3]
 
@@ -119,7 +121,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"enc-proc-dec[{flavor}{'/' + graph_impl if graph_impl else ''}] {'train-step' if mode == 'train' else 'fwd'} "
+                "metric": f"enc-proc-dec[{flavor}{'/' + graph_impl if graph_impl else ''}{'/' + attention_impl if attention_impl else ''}] {'train-step' if mode == 'train' else 'fwd'} "
                 f"grid-points/s/chip ({'O' + str(grid_lat) if grid == 'octahedral' else 'latlon'}"
                 f" grid={n_grid}, B={batch}, mesh_r{refinements}, C={channels}, L={layers}, {dtype})",
                 "value": round(gps, 1),

@@ -185,3 +185,28 @@ def test_gt_processor_halo_hlo_no_full_allgather():
     assert biggest < full_node_elems, (
         f"full-node all-gather leaked into the halo processor: {biggest} >= {full_node_elems}"
     )
+
+
+def test_transformer_auto_routes_to_halo_with_padding():
+    """attention_impl='auto' under a model axis uses halo attention even when
+    the sequence doesn't divide the shard count (auto-padding), matching the
+    single-device result; HLO has no all-to-all."""
+    from anemoi_models_tpu.layers import TransformerProcessor
+
+    n = 130  # NOT divisible by 8
+    x = jnp.asarray(np.random.RandomState(0).randn(1, n, 16), jnp.float32)
+    kw = dict(num_layers=2, num_channels=16, num_chunks=1, num_heads=4,
+              window_size=8, dropout_p=0.0)
+    ref_proc = TransformerProcessor(attention_impl="reference", **kw)
+    auto_proc = TransformerProcessor(attention_impl="auto", **kw)
+    params = ref_proc.init(jax.random.key(0), x)
+    ref = ref_proc.apply(params, x)
+
+    mesh = make_mesh(data=1, model=8)
+    with use_mesh(mesh):
+        xs = jax.device_put(x, NamedSharding(mesh, P()))
+        ps = jax.device_put(params, NamedSharding(mesh, P()))
+        compiled = jax.jit(auto_proc.apply).lower(ps, xs).compile()
+        out = compiled(ps, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4, rtol=1e-3)
+    assert "all-to-all" not in compiled.as_text()

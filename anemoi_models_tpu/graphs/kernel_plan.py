@@ -44,6 +44,10 @@ class EdgeKernelPlan:
     outlier_src: np.ndarray  # (E_out,) int32
     outlier_dst: np.ndarray  # (E_out,) int32
     outlier_edge_ids: np.ndarray  # (E_out,) int32
+    # transpose-adjoint layout (gather-only backward, see
+    # graphs/partition.py:transpose_position_tables)
+    t_src: tuple = None  # (buckets, reassemble) over slot positions per source row
+    slot_of_edge: np.ndarray = None  # (E,) int32 slot of each edge, -1 if outlier
 
     @property
     def num_blocks(self) -> int:
@@ -143,6 +147,17 @@ def build_edge_kernel_plan(
     o_src, o_dst, o_eid = cat(out_src), cat(out_dst), cat(out_eid)
     order = np.argsort(o_dst, kind="stable")  # CSR-sort for the segment ops
     o_src, o_dst, o_eid = o_src[order], o_dst[order], o_eid[order]
+
+    from anemoi_models_tpu.graphs.partition import transpose_position_tables
+
+    block_of_row = np.arange(rows) // (block_nodes * cap)
+    gsrc = slab_start.astype(np.int64)[block_of_row] + src_slab_idx[:, 0]
+    t_src = transpose_position_tables(
+        np.where(slot_mask[:, 0] > 0, gsrc, -1), num_src
+    )
+    slot_of_edge = np.full(len(src), -1, dtype=np.int32)
+    live = np.nonzero(slot_mask[:, 0])[0]
+    slot_of_edge[edge_ids[live]] = live.astype(np.int32)
     return EdgeKernelPlan(
         num_dst=num_dst,
         num_src=num_src,
@@ -156,6 +171,8 @@ def build_edge_kernel_plan(
         outlier_src=o_src,
         outlier_dst=o_dst,
         outlier_edge_ids=o_eid,
+        t_src=t_src,
+        slot_of_edge=slot_of_edge,
     )
 
 

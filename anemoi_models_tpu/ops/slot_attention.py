@@ -91,16 +91,26 @@ def slot_attention_partials(
     cap, nb = plan.cap, plan.block_nodes
     scale = 1.0 / np.sqrt(d)
 
-    src_idx = jnp.asarray(plan.src_slab_idx[:, 0])  # (R,)
-    slab_start = jnp.asarray(plan.slab_start)  # (num_blocks,)
     mask = jnp.asarray(plan.slot_mask[:, 0])  # (R,)
 
     # global source row per slot; padded slots point at row 0 and are masked
-    block_of = jnp.arange(npad * cap) // (nb * cap)
-    gsrc = slab_start[block_of] + src_idx
+    block_of = np.arange(npad * cap) // (nb * cap)
+    gsrc = plan.slab_start.astype(np.int64)[block_of] + plan.src_slab_idx[:, 0]
 
-    k_n = jnp.take(key, gsrc, axis=0)  # (R, H, D)
-    v_n = jnp.take(value, gsrc, axis=0)
+    if plan.t_src is not None:
+        from anemoi_models_tpu.ops.dense_graph import _transpose_sum, take_rows
+
+        ns = key.shape[0]
+
+        def adj_src(g):
+            gf = g.reshape(-1, h * d)
+            return _transpose_sum(gf, plan.t_src, ns).reshape(ns, h, d)
+
+        k_n = take_rows(key, gsrc, 0, adj_src)  # (R, H, D)
+        v_n = take_rows(value, gsrc, 0, adj_src)
+    else:
+        k_n = jnp.take(key, gsrc, axis=0)
+        v_n = jnp.take(value, gsrc, axis=0)
     e_n = jnp.einsum("ra,ahd->rhd", a_slots, w_aug)  # (R, H, D)
 
     qpad = jnp.pad(query, ((0, npad - n), (0, 0), (0, 0)))
@@ -184,7 +194,17 @@ def planned_edge_attention(
     # slot attributes: batch-invariant (trainable edge params repeat over
     # batch), so build from batch element 0 and augment with the ones column
     a0 = edge_attr_raw[0]
-    a_slots = jnp.take(a0, jnp.asarray(plan.edge_ids), axis=0)
+    if plan.slot_of_edge is not None:
+        from anemoi_models_tpu.ops.dense_graph import _masked_pos_take, take_rows
+
+        num_edges = a0.shape[0]
+
+        def adj_a(g):
+            return _masked_pos_take(g, plan.slot_of_edge, num_edges, axis=-2)
+
+        a_slots = take_rows(a0, plan.edge_ids, 0, adj_a)
+    else:
+        a_slots = jnp.take(a0, jnp.asarray(plan.edge_ids), axis=0)
     a_slots = jnp.concatenate([a_slots, jnp.ones_like(a_slots[:, :1])], axis=-1)
     a_slots = a_slots * jnp.asarray(plan.slot_mask)
 

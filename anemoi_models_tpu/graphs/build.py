@@ -65,17 +65,21 @@ def latlon_grid_nodes(num_lat: int, num_lon: int | None = None) -> NodeSet:
 def octahedral_grid_nodes(resolution: int) -> NodeSet:
     """Octahedral reduced Gaussian grid O<resolution> (ECMWF-style).
 
-    ``2 * resolution`` latitude rows; the row nearest each pole has 20
+    ``2 * resolution`` latitude rows at *true Gaussian latitudes* (Legendre
+    roots of degree 2N: ``sin(lat_i)`` are the roots of P_2N, the quadrature
+    nodes of the spectral transform grid); the row nearest each pole has 20
     points, growing by 4 per row toward the equator — so point density is
     near-uniform on the sphere (O96 = 40,320 points), unlike the equal-angle
-    lat/lon grid whose polar rows over-sample longitude. Row latitudes use
-    the uniform-area approximation of Gaussian latitudes.
+    lat/lon grid whose polar rows over-sample longitude. Per-point area
+    weights are the Gauss-Legendre quadrature weights split over the row.
     """
+    from scipy.special import roots_legendre
+
     nrows = 2 * resolution
-    # uniform-in-sin(lat) row centers approximate Gaussian latitudes
-    sinlats = np.linspace(1, -1, nrows + 1)
-    sinlats = 0.5 * (sinlats[:-1] + sinlats[1:])
-    lats = np.arcsin(sinlats)
+    sinlats, gauss_w = roots_legendre(nrows)
+    order = np.argsort(-sinlats)  # north to south
+    lats = np.arcsin(sinlats[order])
+    gauss_w = gauss_w[order]
 
     rows_pts = []
     for i in range(nrows):
@@ -85,10 +89,10 @@ def octahedral_grid_nodes(resolution: int) -> NodeSet:
 
     coords = []
     weights = []
-    for lat, npts in zip(lats, rows_pts):
+    for lat, npts, gw in zip(lats, rows_pts, gauss_w):
         lons = np.linspace(-np.pi, np.pi, npts, endpoint=False)
         coords.append(np.stack([np.full(npts, lat), lons], axis=-1))
-        weights.append(np.full(npts, 1.0 / npts))
+        weights.append(np.full(npts, gw / npts))
     coords = np.concatenate(coords).astype(np.float64)
     w = np.concatenate(weights)
     w = w / w.mean()

@@ -48,6 +48,11 @@ class EdgeKernelPlan:
     # graphs/partition.py:transpose_position_tables)
     t_src: tuple = None  # (buckets, reassemble) over slot positions per source row
     slot_of_edge: np.ndarray = None  # (E,) int32 slot of each edge, -1 if outlier
+    t_out_src: tuple = None  # transpose tables over outlier positions per source
+    t_out_dst: tuple = None  # same, per destination
+    out_pos_of_edge: np.ndarray = None  # (E,) int32 outlier position, -1 if slotted
+    out_tables: tuple = None  # (buckets, reassemble) over the outlier edge list
+    out_transpose: dict = None  # transpose bundle for the outlier buckets
 
     @property
     def num_blocks(self) -> int:
@@ -158,6 +163,22 @@ def build_edge_kernel_plan(
     slot_of_edge = np.full(len(src), -1, dtype=np.int32)
     live = np.nonzero(slot_mask[:, 0])[0]
     slot_of_edge[edge_ids[live]] = live.astype(np.int32)
+    t_out_src = transpose_position_tables(o_src.astype(np.int64), num_src)
+    t_out_dst = transpose_position_tables(o_dst.astype(np.int64), num_dst)
+    out_pos_of_edge = np.full(len(src), -1, dtype=np.int32)
+    out_pos_of_edge[o_eid] = np.arange(len(o_eid), dtype=np.int32)
+
+    out_tables = out_transpose = None
+    if len(o_src):
+        from anemoi_models_tpu.graphs.partition import (
+            bucketed_neighbor_tables,
+            bucketed_transpose_bundle,
+        )
+
+        out_ei = np.stack([o_src, o_dst]).astype(np.int64)
+        out_buckets, out_reassemble = bucketed_neighbor_tables(out_ei, num_dst)
+        out_tables = (out_buckets, out_reassemble)
+        out_transpose = bucketed_transpose_bundle(out_buckets, num_dst, num_src, len(o_src))
     return EdgeKernelPlan(
         num_dst=num_dst,
         num_src=num_src,
@@ -173,6 +194,11 @@ def build_edge_kernel_plan(
         outlier_edge_ids=o_eid,
         t_src=t_src,
         slot_of_edge=slot_of_edge,
+        t_out_src=t_out_src,
+        t_out_dst=t_out_dst,
+        out_pos_of_edge=out_pos_of_edge,
+        out_tables=out_tables,
+        out_transpose=out_transpose,
     )
 
 

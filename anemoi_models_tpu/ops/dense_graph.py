@@ -199,6 +199,7 @@ def bucketed_edge_attention(
     reassemble: jnp.ndarray,
     edge_transform=None,
     transpose=None,
+    return_partials: bool = False,
 ) -> jnp.ndarray:
     """Per-edge attention over degree-bucketed tables.
 
@@ -211,6 +212,11 @@ def bucketed_edge_attention(
     gathered narrow (A wide, cheap) and projected per bucket by
     ``edge_transform: (..., cap, A) -> (..., cap, H, D)``. Projecting after
     the gather keeps the E-wide projected tensor out of HBM entirely.
+
+    ``return_partials=True`` emits merge-form ``(num, den, m)`` fp32 partials
+    (un-normalized, max −1e30 and den 0 for edge-less destinations) instead
+    of the finished output — scatter-free in forward and (with ``transpose``)
+    backward, used for the kernel plan's outlier edges.
     """
     num_edges = None if edge_attr is None else edge_attr.shape[-2 if edge_transform is not None else -3]
     outs = []
@@ -257,14 +263,29 @@ def bucketed_edge_attention(
         logits = jnp.einsum(
             "...nhd,...nkhd->...nkh", q_b, k_n, preferred_element_type=jnp.float32
         ) * scale
-        logits = jnp.where(mask[..., None], logits, -jnp.inf)
+        logits = jnp.where(mask[..., None], logits, -1e30 if return_partials else -jnp.inf)
         m = jnp.max(logits, axis=-2, keepdims=True)
-        m = jnp.where(jnp.isfinite(m), m, 0.0)
+        if not return_partials:
+            m = jnp.where(jnp.isfinite(m), m, 0.0)
         w = jnp.exp(logits - m)
         w = jnp.where(mask[..., None], w, 0.0)
+        if return_partials:
+            num_b = jnp.einsum("...nkh,...nkhd->...nhd", w, v_n.astype(jnp.float32))
+            outs.append((num_b, w.sum(axis=-2), m[..., 0, :]))
+            continue
         denom = jnp.maximum(w.sum(axis=-2, keepdims=True), 1e-16)
         alpha = (w / denom).astype(value.dtype)
         outs.append((v_n * alpha[..., None]).sum(axis=-3))
+    if return_partials:
+        re = lambda t, ax: (  # noqa: E731
+            take_rows(
+                jnp.concatenate(t, axis=ax), reassemble, ax,
+                (lambda g, nc=transpose.node_concat: jnp.take(g, jnp.asarray(nc), axis=ax))
+                if transpose is not None else None,
+            )
+        )
+        nums, dens, ms = zip(*outs)
+        return re(nums, -3), re(dens, -2), re(ms, -2)
     cat = jnp.concatenate(outs, axis=-3)
     if transpose is not None:
         nc = transpose.node_concat

@@ -138,13 +138,28 @@ def coo_attention_partials(
     src: jnp.ndarray,  # (E,) int32
     dst: jnp.ndarray,  # (E,) int32
     num_dst: int,
+    t_src=None,  # transpose tables -> gather-only backward for key/value
+    t_dst=None,  # same for query
 ) -> AttentionPartials:
     """Plain COO segment-op partials for edges outside the kernel plan."""
     h, d = query.shape[-2:]
     scale = 1.0 / np.sqrt(d)
-    q_i = jnp.take(query, dst, axis=0)
-    k_j = jnp.take(key, src, axis=0) + e_proj
-    v_j = jnp.take(value, src, axis=0) + e_proj
+
+    def make_adj(t_tab, rows):
+        if t_tab is None:
+            return None
+        from anemoi_models_tpu.ops.dense_graph import _transpose_sum
+
+        def adj(g):
+            return _transpose_sum(g.reshape(-1, h * d), t_tab, rows).reshape(rows, h, d)
+
+        return adj
+
+    from anemoi_models_tpu.ops.dense_graph import take_rows
+
+    q_i = take_rows(query, dst, 0, make_adj(t_dst, query.shape[0]))
+    k_j = take_rows(key, src, 0, make_adj(t_src, key.shape[0])) + e_proj
+    v_j = take_rows(value, src, 0, make_adj(t_src, value.shape[0])) + e_proj
     logits = jnp.einsum("ehd,ehd->eh", q_i, k_j, preferred_element_type=jnp.float32) * scale
     m = segment_max(logits, dst, num_dst)  # (N, H); -inf where no edges
     m = jnp.maximum(m, _NEG)
@@ -213,16 +228,44 @@ def planned_edge_attention(
 
     o_src = jnp.asarray(plan.outlier_src)
     o_dst = jnp.asarray(plan.outlier_dst)
-    e_out = edge_transform(jnp.take(a0, jnp.asarray(plan.outlier_edge_ids), axis=0))
+    if plan.out_pos_of_edge is not None and len(plan.outlier_src):
+        from anemoi_models_tpu.ops.dense_graph import _masked_pos_take
+
+        def adj_ao(g):
+            return _masked_pos_take(g, plan.out_pos_of_edge, a0.shape[0], axis=-2)
+
+        from anemoi_models_tpu.ops.dense_graph import take_rows as _take_rows
+
+        a_out = _take_rows(a0, plan.outlier_edge_ids, 0, adj_ao)
+    else:
+        a_out = jnp.take(a0, jnp.asarray(plan.outlier_edge_ids), axis=0)
+    e_out = edge_transform(a_out)
 
     def batched(q, k, v, a_slots, w_aug, e_out, slot_fn):
         def one(q1, k1, v1):
             p = slot_fn(q1, k1, v1, a_slots, w_aug)
             if len(plan.outlier_src):
                 e1 = e_out[0] if e_out.ndim == 4 else e_out
-                p = merge_partials(
-                    p, coo_attention_partials(q1, k1, v1, e1, o_src, o_dst, plan.num_dst)
-                )
+                if plan.out_tables is not None:
+                    # bucketed outlier partials: scatter-free fwd AND bwd
+                    from anemoi_models_tpu.ops.dense_graph import (
+                        TransposeBundle,
+                        bucketed_edge_attention,
+                    )
+
+                    num, den, mx = bucketed_edge_attention(
+                        q1[None], k1[None], v1[None], e1[None],
+                        plan.out_tables[0], plan.out_tables[1],
+                        transpose=TransposeBundle(plan.out_transpose),
+                        return_partials=True,
+                    )
+                    p2 = AttentionPartials(num=num[0], den=den[0], m=mx[0])
+                else:
+                    p2 = coo_attention_partials(
+                        q1, k1, v1, e1, o_src, o_dst, plan.num_dst,
+                        t_src=plan.t_out_src, t_dst=plan.t_out_dst,
+                    )
+                p = merge_partials(p, p2)
             return finalize_partials(p, value.dtype)
 
         if q.shape[0] == 1:  # no vmap wrapper around the kernel for B=1

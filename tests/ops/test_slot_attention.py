@@ -117,3 +117,47 @@ def test_pallas_kernel_interpret_matches_twin():
     np.testing.assert_allclose(np.asarray(ref.num), np.asarray(out.num), atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(ref.den), np.asarray(out.den), atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(ref.m), np.asarray(out.m), atol=1e-4, rtol=1e-4)
+
+
+def test_plan_degree_overflow_spills_to_outliers():
+    """Destinations with more than cap in-window edges keep correctness via
+    the outlier merge."""
+    rng = np.random.RandomState(0)
+    num_dst = num_src = 32
+    # a hub node with 20 incoming edges (cap 8) + random sparse edges
+    src = np.concatenate([rng.randint(0, num_src, 60), rng.permutation(num_src)[:20]])
+    dst = np.concatenate([rng.randint(0, num_dst, 60), np.full(20, 7)])
+    order = np.lexsort((src, dst))
+    ei = np.stack([src[order], dst[order]]).astype(np.int32)
+    plan = build_edge_kernel_plan(ei, num_dst, num_src, block_nodes=16, cap=8, slab_width=16)
+    assert len(plan.outlier_src) > 0
+
+    q = jnp.asarray(rng.randn(1, num_dst, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(1, num_src, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(1, num_src, H, D), jnp.float32)
+    a_raw = jnp.asarray(rng.randn(1, ei.shape[1], A), jnp.float32)
+    w = jnp.asarray(rng.randn(A, H * D) * 0.3, jnp.float32)
+
+    def edge_transform(a):
+        e = a @ w
+        return e.reshape(*e.shape[:-1], H, D)
+
+    ref = graph_transformer_conv(q, k, v, edge_transform(a_raw), jnp.asarray(ei))
+    out = planned_edge_attention(q, k, v, a_raw, edge_transform, plan, impl="reference")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-4)
+
+
+def test_slot_backward_scatter_free():
+    """The slot-path backward lowers without any scatter op."""
+    _, es, plan, q, k, v, a_raw, edge_transform = _setup()
+
+    def loss(q, k, v, a):
+        return jnp.sum(planned_edge_attention(q, k, v, a, edge_transform, plan, impl="reference") ** 2)
+
+    text = (
+        jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+        .lower(q, k, v, a_raw)
+        .compile()
+        .as_text()
+    )
+    assert "scatter(" not in text, "planned-path backward must be scatter-free"

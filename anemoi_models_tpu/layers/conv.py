@@ -46,7 +46,7 @@ class GraphConv(nn.Module):
     def __call__(
         self,
         x: Union[jnp.ndarray, tuple[jnp.ndarray, jnp.ndarray]],
-        edge_attr: jnp.ndarray,
+        edge_attr,
         edge_index: jnp.ndarray,
         num_dst: Optional[int] = None,
         tables=None,
@@ -54,26 +54,39 @@ class GraphConv(nn.Module):
         x_src, x_dst = x if isinstance(x, tuple) else (x, x)
         if num_dst is None:
             num_dst = x_dst.shape[-2]
-        x_i = gather_nodes(x_dst, edge_index[1])  # destination (target) features
-        x_j = gather_nodes(x_src, edge_index[0])  # source features
-        edges_new = (
-            MLP(
-                hidden_dim=self.out_channels,
-                out_features=self.out_channels,
-                n_extra_layers=self.mlp_extra_layers,
-                activation=self.activation,
-                dtype=self.dtype,
-            )(jnp.concatenate([x_i, x_j, edge_attr], axis=-1))
-            + edge_attr
+        mlp = MLP(
+            hidden_dim=self.out_channels,
+            out_features=self.out_channels,
+            n_extra_layers=self.mlp_extra_layers,
+            activation=self.activation,
+            dtype=self.dtype,
         )
         if tables is not None:
             from anemoi_models_tpu.ops.slot_attention import PlannedTables
 
             if isinstance(tables, PlannedTables):
-                raise ValueError(
-                    "graph_impl='pallas' applies to the GraphTransformer flavor only; "
-                    "use 'dense' or 'segment' for GraphConv layers"
+                # fused slot path (Pallas kernel on TPU, jnp twin elsewhere):
+                # edge features stay in slot layout between layers; the edge
+                # MLP runs as a pure function of this module's own params
+                # (identical param tree to the dense path)
+                from anemoi_models_tpu.ops.slot_gnn import SlotEdges, planned_gnn_conv
+
+                assert x_src is x_dst, "graph_impl='pallas' GraphConv requires a self-graph"
+                e_width = (
+                    edge_attr.slots.shape[-1]
+                    if isinstance(edge_attr, SlotEdges)
+                    else edge_attr.shape[-1]
                 )
+                in_width = 2 * x_dst.shape[-1] + e_width
+                _ = mlp(jnp.zeros((1, in_width), self.dtype))  # materialize params
+                w = mlp.variables["params"]
+                return planned_gnn_conv(
+                    x_dst, edge_attr, w, tables.plan, self.activation, tables.impl
+                )
+        x_i = gather_nodes(x_dst, edge_index[1])  # destination (target) features
+        x_j = gather_nodes(x_src, edge_index[0])  # source features
+        edges_new = mlp(jnp.concatenate([x_i, x_j, edge_attr], axis=-1)) + edge_attr
+        if tables is not None:
             # TPU fast path: degree-bucketed gather + static-width masked
             # reductions instead of a scatter (fwd AND bwd when transpose
             # tables are present)

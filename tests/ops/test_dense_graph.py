@@ -155,3 +155,37 @@ def test_transpose_adjoint_grads_match_and_scatter_free():
     np.testing.assert_allclose(np.asarray(ge_plain), np.asarray(ge_t), atol=1e-4, rtol=1e-4)
     text2 = jax.jit(jax.grad(lambda e: loss2(e, tb))).lower(e).compile().as_text()
     assert "scatter(" not in text2
+
+
+def test_transpose_adjoint_bipartite_matches():
+    """Bipartite (mapper-style) gather tables: transpose-adjoint grads equal
+    the plain path when num_src != num_dst."""
+    from anemoi_models_tpu.graphs import build_enc_proc_dec_graph
+    from anemoi_models_tpu.graphs.partition import edge_set_gather_tables
+    from anemoi_models_tpu.ops.dense_graph import (
+        TransposeBundle,
+        bucketed_edge_attention,
+    )
+
+    g = build_enc_proc_dec_graph(grid_lat=6, mesh_refinements=2)
+    es = g[("data", "to", "hidden")]  # encoder: data sources, hidden dsts
+    n_src = g["data"].num_nodes
+    n_dst = g["hidden"].num_nodes
+    buckets, reassemble, bundle = edge_set_gather_tables(es, n_dst, n_src)
+    tb = TransposeBundle(bundle)
+    H, D = 2, 8
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(1, n_dst, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(1, n_src, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(1, n_src, H, D), jnp.float32)
+    e = jnp.asarray(rng.randn(1, es.num_edges, H, D), jnp.float32)
+
+    def loss(q, k, v, e, transpose):
+        return jnp.sum(
+            bucketed_edge_attention(q, k, v, e, buckets, reassemble, transpose=transpose) ** 2
+        )
+
+    g_plain = jax.grad(lambda *a: loss(*a, None), argnums=(0, 1, 2, 3))(q, k, v, e)
+    g_t = jax.grad(lambda *a: loss(*a, tb), argnums=(0, 1, 2, 3))(q, k, v, e)
+    for name, a, b in zip("qkve", g_plain, g_t):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4, err_msg=name)

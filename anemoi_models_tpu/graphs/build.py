@@ -366,7 +366,9 @@ def build_hierarchical_graph(
     level_faces: list[np.ndarray] = []
     for i in range(num_levels):
         ns, faces = icosahedral_nodes(mesh_refinements - i)
-        perm = morton_order(ns.coords)
+        # per-level fine-RCM ordering, same rationale as the flat builder:
+        # bounded source spans for the slot kernels + halo contiguity
+        perm = rcm_order(_faces_to_bidirectional_edges(faces[-1]), ns.num_nodes)
         ns, old_to_new = reorder_nodes(ns, perm)
         level_nodes.append(ns)
         level_faces.append(old_to_new[faces[-1]])

@@ -209,21 +209,34 @@ def edge_set_kernel_plan(
     *,
     block_nodes: int = 128,
     cap: int = 8,
-    slab_width: int = 512,
+    slab_width: int = 0,
 ) -> EdgeKernelPlan:
     """Cached :func:`build_edge_kernel_plan` for an EdgeSet (memo lives on
-    the instance, like the neighbor-table caches)."""
+    the instance, like the neighbor-table caches).
+
+    ``slab_width=0`` auto-selects: RCM bandwidth grows ~sqrt(num_src), so the
+    smallest width within 1% of the best coverage wins (512 for the
+    refinement-5 mesh, 768 at refinement 6 — both measured).
+    """
     from anemoi_models_tpu.graphs.partition import _edge_set_cache
 
     cache = _edge_set_cache(edge_set)
     key = ("kernel_plan", num_dst, num_src, block_nodes, cap, slab_width)
     if key not in cache:
-        cache[key] = build_edge_kernel_plan(
-            edge_set.edge_index,
-            num_dst,
-            num_src,
-            block_nodes=block_nodes,
-            cap=cap,
-            slab_width=slab_width,
-        )
+        if slab_width:
+            plan = build_edge_kernel_plan(
+                edge_set.edge_index, num_dst, num_src,
+                block_nodes=block_nodes, cap=cap, slab_width=slab_width,
+            )
+        else:
+            candidates = [
+                build_edge_kernel_plan(
+                    edge_set.edge_index, num_dst, num_src,
+                    block_nodes=block_nodes, cap=cap, slab_width=w,
+                )
+                for w in (512, 768, 1024, 1536)
+            ]
+            best = max(p.coverage for p in candidates)
+            plan = next(p for p in candidates if p.coverage >= best - 0.01)
+        cache[key] = plan
     return cache[key]

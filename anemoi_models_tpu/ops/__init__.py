@@ -5,9 +5,15 @@ from anemoi_models_tpu.ops.dense_graph import (
     dense_edge_attention,
     gather_edges,
     masked_neighbor_sum,
+    take_rows,
 )
 from anemoi_models_tpu.ops.ring_attention import halo_window_attention
 from anemoi_models_tpu.ops.segment import gather_nodes, segment_max, segment_softmax, segment_sum
+from anemoi_models_tpu.ops.slot_attention import (
+    merge_partials,
+    planned_edge_attention,
+)
+from anemoi_models_tpu.ops.slot_gnn import planned_gnn_conv
 
 __all__ = [
     "dot_product_attention",
@@ -21,4 +27,8 @@ __all__ = [
     "bucketed_neighbor_sum",
     "gather_edges",
     "masked_neighbor_sum",
+    "take_rows",
+    "merge_partials",
+    "planned_edge_attention",
+    "planned_gnn_conv",
 ]

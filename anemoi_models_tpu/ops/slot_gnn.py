@@ -116,6 +116,11 @@ def planned_gnn_conv(
         edges = to_slot_edges(edges, plan)
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "reference"
+    n_dense = sum(1 for k in w if k.startswith("Dense_"))
+    if impl == "pallas" and n_dense != 3:
+        # the kernel implements the default 3-Dense edge MLP; deeper MLPs
+        # (mlp_extra_layers > 0) run the jnp twin
+        impl = "reference"
 
     o_src = plan.outlier_src
     o_dst = plan.outlier_dst

@@ -286,6 +286,7 @@ def build_enc_proc_dec_graph(
     decoder_knn: int = 3,
     data_name: str = "data",
     hidden_name: str = "hidden",
+    data_order: str = "rows",
 ) -> HeteroGraph:
     """Build the canonical AIFS-style graph: data grid + icosahedral hidden
     mesh, cutoff encoder edges, multi-scale processor edges, knn decoder
@@ -294,6 +295,13 @@ def build_enc_proc_dec_graph(
     ``grid``: "latlon" (equal-angle, ``grid_lat`` rows) or "octahedral"
     (reduced Gaussian O<grid_lat> — near-uniform density, no polar
     in-degree skew).
+
+    ``data_order``: "rows" keeps the grid's native latitude-row order;
+    "mesh" renumbers data points along the hidden mesh's RCM curve (nearest
+    hidden node's position) so the *decoder* conv gets bounded source spans
+    and qualifies for the slot kernel. The original row index of every point
+    is kept in ``nodes["data"].attrs["source_index"]`` for ingest-time
+    permutation of row-ordered datasets.
     """
     if grid == "octahedral":
         data_nodes = octahedral_grid_nodes(grid_lat)
@@ -307,6 +315,15 @@ def build_enc_proc_dec_graph(
     )
     hidden_nodes, old_to_new = reorder_nodes(hidden_nodes, perm)
     face_levels = [old_to_new[f] for f in face_levels]
+
+    if data_order == "mesh":
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(_latlon_to_xyz(hidden_nodes.coords))
+        _, nearest = tree.query(_latlon_to_xyz(data_nodes.coords))
+        dperm = np.argsort(nearest, kind="stable")
+        data_nodes, _ = reorder_nodes(data_nodes, dperm)
+        data_nodes.attrs["source_index"] = dperm.astype(np.int32)[:, None]
 
     # encoder: every data point feeds the hidden nodes within a cutoff radius
     # proportional to the hidden mesh's resolution

@@ -67,6 +67,15 @@ class _GraphTransformerBaseMapper(nn.Module):
         return edge_attr, jnp.asarray(edge_index_np)
 
     def _tables(self, num_dst: int, num_src: int):
+        if self.graph_impl == "pallas":
+            # slot-kernel plan; profitable when the plan covers most edges
+            # (e.g. the decoder over a mesh-ordered data grid — see
+            # graphs/build.py data_order="mesh")
+            from anemoi_models_tpu.graphs.kernel_plan import edge_set_kernel_plan
+            from anemoi_models_tpu.ops.slot_attention import PlannedTables
+
+            plan = edge_set_kernel_plan(self.sub_graph, num_dst, num_src)
+            return PlannedTables(plan=plan, impl="auto")
         if self.graph_impl != "dense":
             return None
         from anemoi_models_tpu.graphs.partition import edge_set_gather_tables
@@ -167,6 +176,11 @@ class _GNNBaseMapper(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def _tables(self, num_dst: int, num_src: int):
+        if self.graph_impl not in ("dense", "segment"):
+            raise ValueError(
+                "GNN mappers support graph_impl 'dense' or 'segment' (the slot "
+                "kernel needs a self-graph; mapper convs are bipartite)"
+            )
         if self.graph_impl != "dense":
             return None
         from anemoi_models_tpu.graphs.partition import edge_set_gather_tables

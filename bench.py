@@ -49,6 +49,7 @@ def main() -> None:
     graph_impl = os.environ.get("BENCH_GRAPH_IMPL") or None  # dense | pallas | segment
     if graph_impl is None and flavor == "graphtransformer" and mode == "forward":
         graph_impl = "pallas"
+    data_order = os.environ.get("BENCH_DATA_ORDER", "mesh" if graph_impl == "pallas" else "rows")
     attention_impl = os.environ.get("BENCH_ATTN_IMPL") or None  # pallas | chunked | reference
 
     model, x, n_out = _build(
@@ -63,6 +64,7 @@ def main() -> None:
         batch_size=batch,
         graph_impl=graph_impl,
         attention_impl=attention_impl,
+        data_order=data_order,
     )
     n_grid = x.shape[3]
 

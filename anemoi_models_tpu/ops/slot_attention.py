@@ -268,7 +268,12 @@ def planned_edge_attention(
                 p = merge_partials(p, p2)
             return finalize_partials(p, value.dtype)
 
-        if q.shape[0] == 1:  # no vmap wrapper around the kernel for B=1
+        if slot_fn is not ref_slot:
+            # unroll the batch instead of vmapping the Pallas call (Mosaic
+            # does not batch the kernel); B is small in the B=1-per-chip
+            # serving regime
+            return jnp.stack([one(q[i], k[i], v[i]) for i in range(q.shape[0])])
+        if q.shape[0] == 1:
             return one(q[0], k[0], v[0])[None]
         return jax.vmap(one)(q, k, v)
 

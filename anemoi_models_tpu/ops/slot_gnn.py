@@ -177,10 +177,9 @@ def planned_gnn_conv(
             agg_o, msg_o = outlier_part(x1, eo1, w)
             return (agg_s + agg_o).astype(x1.dtype), msg_s, msg_o
 
-        if x.shape[0] == 1:
-            a, ms, mo = one_p(x[0], es[0], eo[0])
-            return a[None], ms[None], mo[None]
-        return jax.vmap(one_p)(x, es, eo)
+        # unrolled batch: Mosaic does not batch the kernel under vmap
+        outs = [one_p(x[i], es[i], eo[i]) for i in range(x.shape[0])]
+        return tuple(jnp.stack(t) for t in zip(*outs))
 
     def conv_fwd(x, es, eo, w):
         return conv(x, es, eo, w), (x, es, eo, w)

@@ -49,7 +49,9 @@ def main() -> None:
     graph_impl = os.environ.get("BENCH_GRAPH_IMPL") or None  # dense | pallas | segment
     if graph_impl is None and flavor == "graphtransformer" and mode == "forward":
         graph_impl = "pallas"
-    data_order = os.environ.get("BENCH_DATA_ORDER", "mesh" if graph_impl == "pallas" else "rows")
+    # mesh order + decoder kernel measured SLOWER at O96 (799k vs 1,615k):
+    # 315 small sequential decoder blocks do not amortize; opt-in only
+    data_order = os.environ.get("BENCH_DATA_ORDER", "rows")
     attention_impl = os.environ.get("BENCH_ATTN_IMPL") or None  # pallas | chunked | reference
 
     model, x, n_out = _build(

@@ -85,10 +85,13 @@ def _tables(
                 cache[key] = partition_1hop(sub_graph.edge_index, num_dst, shards)
             return HaloTables(part=cache[key])
     if graph_impl == "pallas":
+        import os
+
         from anemoi_models_tpu.graphs.kernel_plan import edge_set_kernel_plan
         from anemoi_models_tpu.ops.slot_attention import PlannedTables
 
-        plan = edge_set_kernel_plan(sub_graph, num_dst, num_src or num_dst)
+        nb = int(os.environ.get("ANEMOI_PLAN_BLOCK_NODES", "128"))
+        plan = edge_set_kernel_plan(sub_graph, num_dst, num_src or num_dst, block_nodes=nb)
         return PlannedTables(plan=plan, impl="auto")
     if graph_impl != "dense":
         return None

@@ -22,7 +22,7 @@ serves as the custom-vjp recompute path.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

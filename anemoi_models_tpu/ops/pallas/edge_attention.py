@@ -16,9 +16,15 @@ bandwidth-ordered graphs (``graphs/kernel_plan.py``). Per destination block:
    fp32 and the kernel emits merge-form partials (num, den, m) so out-of-plan
    edges combine exactly (``ops/slot_attention.py``).
 
-The backward pass recomputes through the jnp twin
-(``slot_attention_partials``) under ``jax.custom_vjp`` — same math, no N×cap×C
-HBM tensors in the forward.
+The backward is a second hand-written kernel (``_bwd_kernel``): it re-DMAs the
+k/v slabs, rebuilds the one-hot gathers in VMEM, and emits dq, per-block
+dk/dv slab gradients (overlap-added into source rows by a small ``lax.scan``
+outside), d(edge attrs) and an accumulated d(edge projection) — so neither
+pass ever materializes an (N·cap, C) tensor in HBM. The vjp drops the
+m-cotangent: the partials consumer (``merge_partials``/``finalize_partials``)
+is invariant under the gauge (num, den, m) → (num·e^{-δ}, den·e^{-δ}, m+δ),
+which forces g_m = num·g_num + den·g_den identically, so the gradient taken
+at fixed m is the true gradient.
 """
 
 from __future__ import annotations
@@ -33,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from anemoi_models_tpu.graphs.kernel_plan import EdgeKernelPlan
 
-__all__ = ["slot_attention_partials_pallas"]
+__all__ = ["slot_attention_partials_pallas", "slot_attention_partials_kernel"]
 
 _NEG = -1e30
 
@@ -203,3 +209,244 @@ def slot_attention_partials_pallas(
     from anemoi_models_tpu.ops.slot_attention import AttentionPartials
 
     return AttentionPartials(num=num[:n].reshape(n, h, d), den=den[:n], m=m[:n])
+
+
+def _bwd_kernel(
+    # scalar prefetch
+    slab_start_ref,
+    # inputs
+    q_ref,  # (NB, C)
+    k_any,  # (Ns_pad, C) in ANY/HBM
+    v_any,  # (Ns_pad, C)
+    idx_ref,  # (RB, 1) int32
+    mask_ref,  # (RB, 1) f32
+    a_ref,  # (RB, A2)
+    w_ref,  # (A2, C)
+    m_ref,  # (NB, H) f32 — forward max logits (the softmax gauge)
+    gn_ref,  # (NB, C) f32 — cotangent of num
+    gd_ref,  # (NB, H) f32 — cotangent of den
+    # outputs
+    dq_ref,  # (NB, C) f32
+    dk_ref,  # (S, C) f32 — this block's slab gradient
+    dv_ref,  # (S, C) f32
+    da_ref,  # (RB, A2) f32
+    dw_ref,  # (A2, C) f32 — accumulated over all blocks
+    # scratch
+    k_slab,
+    v_slab,
+    sem_k,
+    sem_v,
+    *,
+    nb: int,
+    cap: int,
+    slab: int,
+    heads: int,
+    head_dim: int,
+):
+    b = pl.program_id(0)
+    start = pl.multiple_of(slab_start_ref[b], 8)
+    copy_k = pltpu.make_async_copy(k_any.at[pl.ds(start, slab)], k_slab, sem_k)
+    copy_v = pltpu.make_async_copy(v_any.at[pl.ds(start, slab)], v_slab, sem_v)
+    copy_k.start()
+    copy_v.start()
+
+    rb = nb * cap
+    c = heads * head_dim
+    f32 = jnp.float32
+
+    slot_rows = jax.lax.broadcasted_iota(jnp.int32, (rb, slab), 1)
+    gather_oh = (slot_rows == idx_ref[:]).astype(f32)  # (RB, S)
+    rep_rows = jax.lax.broadcasted_iota(jnp.int32, (rb, nb), 0) // cap
+    rep_cols = jax.lax.broadcasted_iota(jnp.int32, (rb, nb), 1)
+    rep_oh = (rep_rows == rep_cols).astype(f32)  # (RB, NB)
+
+    def mm(lhs, rhs, contract):
+        return jax.lax.dot_general(
+            lhs, rhs, (contract, ((), ())), preferred_element_type=f32
+        )
+
+    e_n = mm(a_ref[:].astype(f32), w_ref[:].astype(f32), ((1,), (0,)))  # (RB, C)
+    q_rep = mm(rep_oh, q_ref[:].astype(f32), ((1,), (0,)))  # (RB, C)
+
+    copy_k.wait()
+    k_n = mm(gather_oh, k_slab[:].astype(f32), ((1,), (0,)))  # (RB, C)
+
+    head_of_col = jax.lax.broadcasted_iota(jnp.int32, (c, heads), 0) // head_dim
+    head_cols = jax.lax.broadcasted_iota(jnp.int32, (c, heads), 1)
+    g1 = (head_of_col == head_cols).astype(f32)  # (C, H)
+    he = g1.T  # (H, C)
+    scale = 1.0 / np.sqrt(head_dim)
+
+    ke = k_n + e_n
+    logits = mm(q_rep * ke, g1, ((1,), (0,))) * scale  # (RB, H)
+    m_rep = mm(rep_oh, m_ref[:], ((1,), (0,)))  # (RB, H)
+    w = jnp.exp(logits - m_rep) * mask_ref[:]  # (RB, H); m is the fwd gauge
+
+    gn_rep = mm(rep_oh, gn_ref[:], ((1,), (0,)))  # (RB, C)
+    gd_rep = mm(rep_oh, gd_ref[:], ((1,), (0,)))  # (RB, H)
+
+    copy_v.wait()
+    v_n = mm(gather_oh, v_slab[:].astype(f32), ((1,), (0,)))  # (RB, C)
+    u = v_n + e_n  # (RB, C)
+
+    # dl_s = w_s · (g_num · u_s + g_den)  — per (slot, head)
+    s1 = mm(gn_rep * u, g1, ((1,), (0,)))  # (RB, H)
+    dl = w * (s1 + gd_rep)  # (RB, H)
+    dl_c = mm(dl, he, ((1,), (0,))) * scale  # (RB, C) head-expanded
+
+    dq_rep = dl_c * ke
+    dq_ref[:] = mm(rep_oh, dq_rep, ((0,), (0,)))  # (NB, C)
+
+    dk_n = dl_c * q_rep
+    w_c = mm(w, he, ((1,), (0,)))  # (RB, C)
+    dv_n = w_c * gn_rep
+    dk_ref[:] = mm(gather_oh, dk_n, ((0,), (0,)))  # (S, C)
+    dv_ref[:] = mm(gather_oh, dv_n, ((0,), (0,)))
+
+    de_n = dk_n + dv_n  # e enters both k+e and v+e
+    da_ref[:] = mm(de_n, w_ref[:].astype(f32), ((1,), (1,)))  # (RB, A2)
+    dw_part = mm(a_ref[:].astype(f32), de_n, ((0,), (0,)))  # (A2, C)
+
+    @pl.when(b == 0)
+    def _init():
+        dw_ref[:] = dw_part
+
+    @pl.when(b > 0)
+    def _acc():
+        dw_ref[:] = dw_ref[:] + dw_part
+
+
+def _slot_attention_bwd_pallas(
+    query, key, value, a_slots, w_aug, m, g_num, g_den, plan, interpret=False
+):
+    """Hand-written backward: (dq, dk, dv, da_slots, dw_aug) in primal dtypes."""
+    n, h, d = query.shape
+    ns = key.shape[0]
+    c = h * d
+    nb, cap, slab = plan.block_nodes, plan.cap, plan.slab_width
+    nblk, npad = plan.num_blocks, plan.padded_dst
+    rb = nb * cap
+
+    q2 = _pad_rows(query.reshape(n, c), npad)
+    ns_pad = max(-(-ns // 8) * 8, slab)
+    k2 = _pad_rows(key.reshape(ns, c), ns_pad)
+    v2 = _pad_rows(value.reshape(ns, c), ns_pad)
+    w_flat = w_aug.reshape(w_aug.shape[0], c).astype(q2.dtype)
+    a2 = a_slots.astype(q2.dtype)
+    m2 = _pad_rows(m.astype(jnp.float32), npad)
+    gn2 = _pad_rows(g_num.reshape(n, c).astype(jnp.float32), npad)
+    gd2 = _pad_rows(g_den.astype(jnp.float32), npad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((nb, c), lambda b, ss: (b, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((rb, 1), lambda b, ss: (b, 0)),
+            pl.BlockSpec((rb, 1), lambda b, ss: (b, 0)),
+            pl.BlockSpec((rb, a2.shape[1]), lambda b, ss: (b, 0)),
+            pl.BlockSpec((w_flat.shape[0], c), lambda b, ss: (0, 0)),
+            pl.BlockSpec((nb, h), lambda b, ss: (b, 0)),
+            pl.BlockSpec((nb, c), lambda b, ss: (b, 0)),
+            pl.BlockSpec((nb, h), lambda b, ss: (b, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((nb, c), lambda b, ss: (b, 0)),
+            pl.BlockSpec((slab, c), lambda b, ss: (b, 0)),
+            pl.BlockSpec((slab, c), lambda b, ss: (b, 0)),
+            pl.BlockSpec((rb, a2.shape[1]), lambda b, ss: (b, 0)),
+            pl.BlockSpec((w_flat.shape[0], c), lambda b, ss: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((slab, c), k2.dtype),
+            pltpu.VMEM((slab, c), v2.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(
+        _bwd_kernel, nb=nb, cap=cap, slab=slab, heads=h, head_dim=d
+    )
+    dq, dk_slabs, dv_slabs, da, dw = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((npad, c), jnp.float32),
+            jax.ShapeDtypeStruct((nblk * slab, c), jnp.float32),
+            jax.ShapeDtypeStruct((nblk * slab, c), jnp.float32),
+            jax.ShapeDtypeStruct((npad * cap, a2.shape[1]), jnp.float32),
+            jax.ShapeDtypeStruct((w_flat.shape[0], c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(plan.slab_start),
+        q2,
+        k2,
+        v2,
+        jnp.asarray(plan.src_slab_idx),
+        jnp.asarray(plan.slot_mask),
+        a2,
+        w_flat,
+        m2,
+        gn2,
+        gd2,
+    )
+
+    # overlap-add the per-block slab gradients into source rows: slab windows
+    # of adjacent blocks overlap, so this is a short sequential scan of dense
+    # (slab, C) adds — not a scatter
+    dk_slabs = dk_slabs.reshape(nblk, slab, c)
+    dv_slabs = dv_slabs.reshape(nblk, slab, c)
+    starts = jnp.asarray(plan.slab_start, jnp.int32)
+
+    def overlap_add(acc, inp):
+        start, gk, gv = inp
+        ak = jax.lax.dynamic_slice(acc[0], (start, 0), (slab, c))
+        av = jax.lax.dynamic_slice(acc[1], (start, 0), (slab, c))
+        return (
+            jax.lax.dynamic_update_slice(acc[0], ak + gk, (start, 0)),
+            jax.lax.dynamic_update_slice(acc[1], av + gv, (start, 0)),
+        ), None
+
+    zero = jnp.zeros((ns_pad, c), jnp.float32)
+    (dk_full, dv_full), _ = jax.lax.scan(
+        overlap_add, (zero, zero), (starts, dk_slabs, dv_slabs)
+    )
+
+    return (
+        dq[:n].reshape(n, h, d).astype(query.dtype),
+        dk_full[:ns].reshape(ns, h, d).astype(key.dtype),
+        dv_full[:ns].reshape(ns, h, d).astype(value.dtype),
+        da.astype(a_slots.dtype),
+        dw.reshape(w_aug.shape).astype(w_aug.dtype),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def slot_attention_partials_kernel(query, key, value, a_slots, w_aug, plan, interpret=False):
+    """``slot_attention_partials_pallas`` with a hand-written backward kernel.
+
+    Valid under one contract: the consumer of the returned partials must be
+    invariant to the m-gauge (num, den, m) → (num·e^{-δ}, den·e^{-δ}, m+δ),
+    which ``merge_partials`` + ``finalize_partials`` are. Under that gauge
+    invariance the m-cotangent carries no independent information and the
+    backward is exact with m held fixed at its forward value.
+    """
+    return slot_attention_partials_pallas(query, key, value, a_slots, w_aug, plan, interpret)
+
+
+def _kernel_fwd(query, key, value, a_slots, w_aug, plan, interpret=False):
+    out = slot_attention_partials_pallas(query, key, value, a_slots, w_aug, plan, interpret)
+    return out, (query, key, value, a_slots, w_aug, out.m)
+
+
+def _kernel_bwd(plan, interpret, res, g):
+    query, key, value, a_slots, w_aug, m = res
+    return _slot_attention_bwd_pallas(
+        query, key, value, a_slots, w_aug, m, g.num, g.den, plan, interpret
+    )
+
+
+slot_attention_partials_kernel.defvjp(_kernel_fwd, _kernel_bwd)

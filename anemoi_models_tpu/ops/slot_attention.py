@@ -16,8 +16,9 @@ The TPU-native formulation of the GraphTransformer per-edge attention
   splitting the edge set never changes the result.
 
 ``slot_attention_partials`` is the jnp twin of the Pallas kernel
-(``ops/pallas/edge_attention.py``) — same math, runs on any backend, and
-serves as the custom-vjp recompute path.
+(``ops/pallas/edge_attention.py``) — same math, runs on any backend, and is
+the correctness oracle for both the forward and the hand-written backward
+kernel.
 """
 
 from __future__ import annotations
@@ -283,24 +284,14 @@ def planned_edge_attention(
     if impl != "pallas":
         return batched(query, key, value, a_slots, w_aug, e_out, ref_slot)
 
-    from anemoi_models_tpu.ops.pallas.edge_attention import slot_attention_partials_pallas
+    # forward AND backward are hand-written kernels (custom_vjp inside);
+    # the outlier/merge/finalize surroundings differentiate normally through
+    # the scatter-free transpose-table adjoints
+    from anemoi_models_tpu.ops.pallas.edge_attention import slot_attention_partials_kernel
+
+    interpret = jax.default_backend() != "tpu"
 
     def pallas_slot(q1, k1, v1, a_s, w_a):
-        return slot_attention_partials_pallas(q1, k1, v1, a_s, w_a, plan)
+        return slot_attention_partials_kernel(q1, k1, v1, a_s, w_a, plan, interpret)
 
-    # kernel forward; backward recomputes through the jnp twin (same math,
-    # no wide HBM tensors in the forward) — mirrors ops/pallas/flash_attention
-    @jax.custom_vjp
-    def attn(q, k, v, a_s, w_a, e_o):
-        return batched(q, k, v, a_s, w_a, e_o, pallas_slot)
-
-    def attn_fwd(q, k, v, a_s, w_a, e_o):
-        return attn(q, k, v, a_s, w_a, e_o), (q, k, v, a_s, w_a, e_o)
-
-    def attn_bwd(res, g):
-        q, k, v, a_s, w_a, e_o = res
-        _, vjp = jax.vjp(lambda *args: batched(*args, ref_slot), q, k, v, a_s, w_a, e_o)
-        return vjp(g)
-
-    attn.defvjp(attn_fwd, attn_bwd)
-    return attn(query, key, value, a_slots, w_aug, e_out)
+    return batched(query, key, value, a_slots, w_aug, e_out, pallas_slot)

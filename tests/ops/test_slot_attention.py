@@ -119,6 +119,33 @@ def test_pallas_kernel_interpret_matches_twin():
     np.testing.assert_allclose(np.asarray(ref.m), np.asarray(out.m), atol=1e-4, rtol=1e-4)
 
 
+def test_pallas_backward_kernel_matches_twin_grads():
+    """The hand-written backward kernel (interpret mode) reproduces the jnp
+    twin's gradients through the full planned path (merge + finalize), for
+    every differentiable input including the edge projection."""
+    _, es, plan, q, k, v, a_raw, _ = _setup(seed=3)
+    rng = np.random.RandomState(11)
+    w = jnp.asarray(rng.randn(A, H * D) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.randn(H * D) * 0.1, jnp.float32)
+    gcot = jnp.asarray(rng.randn(2, q.shape[1], H, D), jnp.float32)
+
+    def loss(q, k, v, a, w, b, impl):
+        def edge_transform(x):
+            e = x @ w + b
+            return e.reshape(*e.shape[:-1], H, D)
+
+        out = planned_edge_attention(q, k, v, a, edge_transform, plan, impl=impl)
+        return jnp.sum(out * gcot)
+
+    args = (q, k, v, a_raw, w, b)
+    g_ref = jax.grad(lambda *a: loss(*a, "reference"), argnums=tuple(range(6)))(*args)
+    g_ker = jax.grad(lambda *a: loss(*a, "pallas"), argnums=tuple(range(6)))(*args)
+    for name, gr, gk in zip(("q", "k", "v", "a", "w", "b"), g_ref, g_ker):
+        np.testing.assert_allclose(
+            np.asarray(gr), np.asarray(gk), atol=2e-4, rtol=2e-3, err_msg=name
+        )
+
+
 def test_plan_degree_overflow_spills_to_outliers():
     """Destinations with more than cap in-window edges keep correctness via
     the outlier merge."""

@@ -18,8 +18,10 @@ bandwidth-ordered graphs (``graphs/kernel_plan.py``). Per destination block:
 
 The backward is a second hand-written kernel (``_bwd_kernel``): it re-DMAs the
 k/v slabs, rebuilds the one-hot gathers in VMEM, and emits dq, per-block
-dk/dv slab gradients (overlap-added into source rows by a small ``lax.scan``
-outside), d(edge attrs) and an accumulated d(edge projection) — so neither
+dk/dv slab gradients (overlap-added into source rows by static interval
+coloring + concatenation outside — slab starts are host-static, so windows
+of one color are disjoint and assemble in parallel), d(edge attrs) and an
+accumulated d(edge projection) — so neither
 pass ever materializes an (N·cap, C) tensor in HBM. The vjp drops the
 m-cotangent: the partials consumer (``merge_partials``/``finalize_partials``)
 is invariant under the gauge (num, den, m) → (num·e^{-δ}, den·e^{-δ}, m+δ),
@@ -253,12 +255,16 @@ def _bwd_kernel(
     rb = nb * cap
     c = heads * head_dim
     f32 = jnp.float32
+    cdtype = q_ref.dtype  # bf16 on TPU: one-hot matmuls ride the fast MXU path
 
     slot_rows = jax.lax.broadcasted_iota(jnp.int32, (rb, slab), 1)
-    gather_oh = (slot_rows == idx_ref[:]).astype(f32)  # (RB, S)
+    gather_hit = slot_rows == idx_ref[:]
+    gather_oh = gather_hit.astype(cdtype)  # (RB, S)
     rep_rows = jax.lax.broadcasted_iota(jnp.int32, (rb, nb), 0) // cap
     rep_cols = jax.lax.broadcasted_iota(jnp.int32, (rb, nb), 1)
-    rep_oh = (rep_rows == rep_cols).astype(f32)  # (RB, NB)
+    rep_hit = rep_rows == rep_cols
+    rep_oh = rep_hit.astype(cdtype)  # (RB, NB)
+    rep_oh_f = rep_hit.astype(f32)  # replicates the f32 cotangents exactly
 
     def mm(lhs, rhs, contract):
         return jax.lax.dot_general(
@@ -266,10 +272,10 @@ def _bwd_kernel(
         )
 
     e_n = mm(a_ref[:].astype(f32), w_ref[:].astype(f32), ((1,), (0,)))  # (RB, C)
-    q_rep = mm(rep_oh, q_ref[:].astype(f32), ((1,), (0,)))  # (RB, C)
+    q_rep = mm(rep_oh, q_ref[:], ((1,), (0,)))  # (RB, C)
 
     copy_k.wait()
-    k_n = mm(gather_oh, k_slab[:].astype(f32), ((1,), (0,)))  # (RB, C)
+    k_n = mm(gather_oh, k_slab[:], ((1,), (0,)))  # (RB, C)
 
     head_of_col = jax.lax.broadcasted_iota(jnp.int32, (c, heads), 0) // head_dim
     head_cols = jax.lax.broadcasted_iota(jnp.int32, (c, heads), 1)
@@ -279,14 +285,14 @@ def _bwd_kernel(
 
     ke = k_n + e_n
     logits = mm(q_rep * ke, g1, ((1,), (0,))) * scale  # (RB, H)
-    m_rep = mm(rep_oh, m_ref[:], ((1,), (0,)))  # (RB, H)
+    m_rep = mm(rep_oh_f, m_ref[:], ((1,), (0,)))  # (RB, H)
     w = jnp.exp(logits - m_rep) * mask_ref[:]  # (RB, H); m is the fwd gauge
 
-    gn_rep = mm(rep_oh, gn_ref[:], ((1,), (0,)))  # (RB, C)
-    gd_rep = mm(rep_oh, gd_ref[:], ((1,), (0,)))  # (RB, H)
+    gn_rep = mm(rep_oh_f, gn_ref[:], ((1,), (0,)))  # (RB, C)
+    gd_rep = mm(rep_oh_f, gd_ref[:], ((1,), (0,)))  # (RB, H)
 
     copy_v.wait()
-    v_n = mm(gather_oh, v_slab[:].astype(f32), ((1,), (0,)))  # (RB, C)
+    v_n = mm(gather_oh, v_slab[:], ((1,), (0,)))  # (RB, C)
     u = v_n + e_n  # (RB, C)
 
     # dl_s = w_s · (g_num · u_s + g_den)  — per (slot, head)
@@ -295,13 +301,15 @@ def _bwd_kernel(
     dl_c = mm(dl, he, ((1,), (0,))) * scale  # (RB, C) head-expanded
 
     dq_rep = dl_c * ke
-    dq_ref[:] = mm(rep_oh, dq_rep, ((0,), (0,)))  # (NB, C)
+    dq_ref[:] = mm(rep_oh_f, dq_rep, ((0,), (0,)))  # (NB, C)
 
     dk_n = dl_c * q_rep
     w_c = mm(w, he, ((1,), (0,)))  # (RB, C)
     dv_n = w_c * gn_rep
-    dk_ref[:] = mm(gather_oh, dk_n, ((0,), (0,)))  # (S, C)
-    dv_ref[:] = mm(gather_oh, dv_n, ((0,), (0,)))
+    # transpose one-hot matmuls scatter the slot grads into slab rows; the
+    # cdtype cast keeps them on the fast MXU path (f32 accumulation)
+    dk_ref[:] = mm(gather_oh, dk_n.astype(cdtype), ((0,), (0,)))  # (S, C)
+    dv_ref[:] = mm(gather_oh, dv_n.astype(cdtype), ((0,), (0,)))
 
     de_n = dk_n + dv_n  # e enters both k+e and v+e
     da_ref[:] = mm(de_n, w_ref[:].astype(f32), ((1,), (1,)))  # (RB, A2)
@@ -394,25 +402,45 @@ def _slot_attention_bwd_pallas(
         gd2,
     )
 
-    # overlap-add the per-block slab gradients into source rows: slab windows
-    # of adjacent blocks overlap, so this is a short sequential scan of dense
-    # (slab, C) adds — not a scatter
+    # overlap-add the per-block slab gradients into source rows. slab starts
+    # are static (host numpy), so greedily color the blocks such that windows
+    # within one color are disjoint; each color then assembles with ONE static
+    # concatenation (zeros in the gaps) and the colors sum — a handful of
+    # parallel dense ops instead of a num_blocks-long sequential scan
     dk_slabs = dk_slabs.reshape(nblk, slab, c)
     dv_slabs = dv_slabs.reshape(nblk, slab, c)
-    starts = jnp.asarray(plan.slab_start, jnp.int32)
+    starts_np = np.asarray(plan.slab_start, dtype=np.int64)
 
-    def overlap_add(acc, inp):
-        start, gk, gv = inp
-        ak = jax.lax.dynamic_slice(acc[0], (start, 0), (slab, c))
-        av = jax.lax.dynamic_slice(acc[1], (start, 0), (slab, c))
-        return (
-            jax.lax.dynamic_update_slice(acc[0], ak + gk, (start, 0)),
-            jax.lax.dynamic_update_slice(acc[1], av + gv, (start, 0)),
-        ), None
+    color_blocks: list[list[int]] = []  # per color: block ids, start-sorted
+    color_end: list[int] = []  # per color: end row of its last window
+    for blk in np.argsort(starts_np, kind="stable"):
+        s = int(starts_np[blk])
+        for ci, end in enumerate(color_end):
+            if s >= end:
+                color_blocks[ci].append(int(blk))
+                color_end[ci] = s + slab
+                break
+        else:
+            color_blocks.append([int(blk)])
+            color_end.append(s + slab)
 
-    zero = jnp.zeros((ns_pad, c), jnp.float32)
-    (dk_full, dv_full), _ = jax.lax.scan(
-        overlap_add, (zero, zero), (starts, dk_slabs, dv_slabs)
+    def assemble(slabs: jnp.ndarray, blocks: list[int]) -> jnp.ndarray:
+        segs, pos = [], 0
+        for blk in blocks:
+            s = int(starts_np[blk])
+            if s > pos:
+                segs.append(jnp.zeros((s - pos, c), jnp.float32))
+            segs.append(slabs[blk])
+            pos = s + slab
+        if pos < ns_pad:
+            segs.append(jnp.zeros((ns_pad - pos, c), jnp.float32))
+        return jnp.concatenate(segs, axis=0)
+
+    dk_full = functools.reduce(
+        jnp.add, (assemble(dk_slabs, blocks) for blocks in color_blocks)
+    )
+    dv_full = functools.reduce(
+        jnp.add, (assemble(dv_slabs, blocks) for blocks in color_blocks)
     )
 
     return (

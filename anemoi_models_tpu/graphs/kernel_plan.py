@@ -24,7 +24,13 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["EdgeKernelPlan", "build_edge_kernel_plan", "edge_set_kernel_plan"]
+__all__ = [
+    "EdgeKernelPlan",
+    "ShardedKernelPlan",
+    "build_edge_kernel_plan",
+    "build_halo_kernel_plans",
+    "edge_set_kernel_plan",
+]
 
 
 @dataclass(eq=False)  # identity hash: usable as static jit metadata
@@ -200,6 +206,147 @@ def build_edge_kernel_plan(
         out_tables=out_tables,
         out_transpose=out_transpose,
     )
+
+
+@dataclass(eq=False)  # identity hash: static jit metadata, like EdgeKernelPlan
+class ShardedKernelPlan:
+    """Per-shard kernel plans for the halo-partitioned edge-attention path,
+    stacked over the ``model`` axis so one SPMD program serves every shard.
+
+    Sources are renumbered per shard into *contiguized* coordinates: the
+    halo-extended tensor ``[local | halo]`` is permuted to global-id order
+    ``[pre-halo | local | post-halo]``, which restores RCM adjacency across
+    the shard boundary — the kernel's contiguous-slab assumption then holds
+    exactly as on one chip, and only the long-range multiscale halo members
+    spill to the per-shard outlier COO lists.
+
+    Static dims are shared across shards (equal ``nodes_per_shard`` makes
+    ``num_blocks`` equal; ``slab_width``/``cap`` are chosen globally). All
+    stacked arrays lead with the shard axis S.
+    """
+
+    num_shards: int
+    nodes_per_shard: int
+    block_nodes: int
+    cap: int
+    slab_width: int
+    num_blocks: int  # per shard
+    ext_rows: int  # padded length of the contiguized source tensor (mult. of 8)
+    cont_to_ext: np.ndarray  # (S, ext_rows) int32 — cont position -> ext row
+    ext_to_cont: np.ndarray  # (S, ext_rows) int32 — inverse permutation
+    slab_start: np.ndarray  # (S, num_blocks) int32
+    src_slab_idx: np.ndarray  # (S, R, 1) int32, R = num_blocks*block_nodes*cap
+    slot_mask: np.ndarray  # (S, R, 1) float32
+    edge_ids: np.ndarray  # (S, R) int64 global edge id per slot (0 if padded)
+    out_src: np.ndarray  # (S, Eo) int32 — contiguized source row
+    out_dst: np.ndarray  # (S, Eo) int32 — shard-local destination
+    out_eid: np.ndarray  # (S, Eo) int64 global edge ids (0 if padded)
+    out_mask: np.ndarray  # (S, Eo) float32
+
+    @property
+    def coverage(self) -> float:
+        total = float(self.slot_mask.sum() + self.out_mask.sum())
+        return float(self.slot_mask.sum()) / max(total, 1.0)
+
+
+def build_halo_kernel_plans(
+    part,  # graphs.partition.HaloPartition
+    *,
+    block_nodes: int = 128,
+    cap: int = 8,
+    slab_width: int = 0,
+) -> ShardedKernelPlan:
+    """Lay out each halo shard's local subgraph for the fused kernel.
+
+    ``part`` must carry per-shard global ``edge_ids`` (``partition_1hop``
+    provides them). ``slab_width=0`` auto-selects the smallest candidate
+    within 1% of the best mean coverage, as :func:`edge_set_kernel_plan`.
+    """
+    s_count, nps = part.num_shards, part.nodes_per_shard
+    h_pad = part.halo_select.shape[1]
+    next_rows = nps + h_pad
+    ext_rows = -(-next_rows // 8) * 8
+
+    # contiguized order per shard: sort ext rows by global node id
+    cont_to_ext = np.zeros((s_count, ext_rows), dtype=np.int32)
+    ext_to_cont = np.zeros((s_count, ext_rows), dtype=np.int32)
+    halo_globals = np.full((s_count, h_pad), np.iinfo(np.int64).max, dtype=np.int64)
+    for s in range(s_count):
+        # recover halo global ids from the pool layout: halo_select indexes the
+        # flattened (S, B_pad) boundary pool; owner shard = pos // B_pad
+        b_pad = part.boundary_contrib.shape[1]
+        sel = part.halo_select[s]
+        owner = sel // b_pad
+        local_pos = part.boundary_contrib[owner, sel % b_pad]
+        g = owner.astype(np.int64) * nps + local_pos
+        halo_globals[s, part.halo_mask[s]] = g[part.halo_mask[s]]
+
+        keys = np.concatenate(
+            [np.arange(nps, dtype=np.int64) + s * nps, halo_globals[s]]
+        )
+        pad_keys = np.full(ext_rows - next_rows, np.iinfo(np.int64).max)
+        order = np.argsort(np.concatenate([keys, pad_keys]), kind="stable")
+        cont_to_ext[s] = order.astype(np.int32)
+        ext_to_cont[s, order] = np.arange(ext_rows, dtype=np.int32)
+
+    def shard_plans(width: int) -> list[EdgeKernelPlan]:
+        plans = []
+        for s in range(s_count):
+            live = part.edge_mask[s]
+            e = part.local_edges[s][live]
+            src_cont = ext_to_cont[s, e[:, 0]]
+            ei = np.stack([src_cont, e[:, 1]]).astype(np.int64)
+            plans.append(
+                build_edge_kernel_plan(
+                    ei, nps, ext_rows,
+                    block_nodes=block_nodes, cap=cap, slab_width=width,
+                )
+            )
+        return plans
+
+    if slab_width:
+        plans = shard_plans(slab_width)
+    else:
+        candidates = {w: shard_plans(w) for w in (512, 768, 1024, 1536)}
+        mean_cov = {w: float(np.mean([p.coverage for p in ps])) for w, ps in candidates.items()}
+        best = max(mean_cov.values())
+        width = next(w for w in candidates if mean_cov[w] >= best - 0.01)
+        plans = candidates[width]
+
+    nblk = plans[0].num_blocks
+    rows = plans[0].padded_dst * cap
+    eo = max(max(len(p.outlier_src) for p in plans), 1)
+    sp = ShardedKernelPlan(
+        num_shards=s_count,
+        nodes_per_shard=nps,
+        block_nodes=block_nodes,
+        cap=cap,
+        slab_width=plans[0].slab_width,
+        num_blocks=nblk,
+        ext_rows=ext_rows,
+        cont_to_ext=cont_to_ext,
+        ext_to_cont=ext_to_cont,
+        slab_start=np.stack([p.slab_start for p in plans]),
+        src_slab_idx=np.stack([p.src_slab_idx for p in plans]),
+        slot_mask=np.stack([p.slot_mask for p in plans]),
+        edge_ids=np.zeros((s_count, rows), dtype=np.int64),
+        out_src=np.zeros((s_count, eo), dtype=np.int32),
+        out_dst=np.zeros((s_count, eo), dtype=np.int32),
+        out_eid=np.zeros((s_count, eo), dtype=np.int64),
+        out_mask=np.zeros((s_count, eo), dtype=np.float32),
+    )
+    for s, p in enumerate(plans):
+        # plan edge ids are positions into this shard's live edge list; map
+        # them back to global edge ids via the partition's per-shard table
+        shard_gids = part.edge_ids[s][part.edge_mask[s]]
+        live_slots = p.slot_mask[:, 0] > 0
+        sp.edge_ids[s][live_slots] = shard_gids[p.edge_ids[live_slots]]
+        k = len(p.outlier_src)
+        sp.out_src[s, :k] = p.outlier_src
+        sp.out_dst[s, :k] = p.outlier_dst
+        sp.out_eid[s, :k] = shard_gids[p.outlier_edge_ids]
+        sp.out_mask[s, :k] = 1.0
+    return sp
 
 
 def edge_set_kernel_plan(

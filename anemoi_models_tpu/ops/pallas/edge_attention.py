@@ -41,7 +41,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from anemoi_models_tpu.graphs.kernel_plan import EdgeKernelPlan
 
-__all__ = ["slot_attention_partials_pallas", "slot_attention_partials_kernel"]
+__all__ = [
+    "slot_attention_partials_pallas",
+    "slot_attention_partials_kernel",
+    "slot_attention_arrays_kernel",
+]
 
 _NEG = -1e30
 
@@ -138,29 +142,28 @@ def _pad_rows(x: jnp.ndarray, rows: int) -> jnp.ndarray:
     return jnp.pad(x, ((0, rows - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
 
 
-def slot_attention_partials_pallas(
-    query: jnp.ndarray,  # (N, H, D)
-    key: jnp.ndarray,  # (Ns, H, D)
-    value: jnp.ndarray,  # (Ns, H, D)
-    a_slots: jnp.ndarray,  # (R, A2) ones-augmented raw edge attrs
-    w_aug: jnp.ndarray,  # (A2, H, D)
-    plan: EdgeKernelPlan,
-    interpret: bool = False,
+def _pallas_fwd(
+    starts,  # (nblk,) int32 — scalar-prefetched slab starts
+    q2,  # (npad, C)
+    k2,  # (ns_pad, C) rows multiple of 8, >= slab
+    v2,
+    idx,  # (R, 1) int32
+    mask,  # (R, 1) f32
+    a2,  # (R, A2)
+    w_flat,  # (A2, C)
+    *,
+    nb: int,
+    cap: int,
+    slab: int,
+    heads: int,
+    head_dim: int,
+    interpret: bool,
 ):
-    """Kernel-backed twin of ``slot_attention_partials`` (same partials out)."""
-    n, h, d = query.shape
-    ns = key.shape[0]
-    c = h * d
-    nb, cap, slab = plan.block_nodes, plan.cap, plan.slab_width
-    nblk, npad = plan.num_blocks, plan.padded_dst
+    """Shared forward pallas_call; layout args are operands (traced or not)."""
+    c = heads * head_dim
+    nblk = starts.shape[0]
     rb = nb * cap
-
-    q2 = _pad_rows(query.reshape(n, c), npad)
-    ns_pad = max(-(-ns // 8) * 8, slab)
-    k2 = _pad_rows(key.reshape(ns, c), ns_pad)
-    v2 = _pad_rows(value.reshape(ns, c), ns_pad)
-    w_flat = w_aug.reshape(w_aug.shape[0], c).astype(q2.dtype)
-    a2 = a_slots.astype(q2.dtype)
+    npad = nblk * nb
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -176,8 +179,8 @@ def slot_attention_partials_pallas(
         ],
         out_specs=[
             pl.BlockSpec((nb, c), lambda b, ss: (b, 0)),
-            pl.BlockSpec((nb, h), lambda b, ss: (b, 0)),
-            pl.BlockSpec((nb, h), lambda b, ss: (b, 0)),
+            pl.BlockSpec((nb, heads), lambda b, ss: (b, 0)),
+            pl.BlockSpec((nb, heads), lambda b, ss: (b, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((slab, c), k2.dtype),
@@ -187,26 +190,50 @@ def slot_attention_partials_pallas(
         ],
     )
     kernel = functools.partial(
-        _kernel, nb=nb, cap=cap, slab=slab, heads=h, head_dim=d
+        _kernel, nb=nb, cap=cap, slab=slab, heads=heads, head_dim=head_dim
     )
-    num, den, m = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((npad, c), jnp.float32),
-            jax.ShapeDtypeStruct((npad, h), jnp.float32),
-            jax.ShapeDtypeStruct((npad, h), jnp.float32),
+            jax.ShapeDtypeStruct((npad, heads), jnp.float32),
+            jax.ShapeDtypeStruct((npad, heads), jnp.float32),
         ],
         interpret=interpret,
-    )(
+    )(starts, q2, k2, v2, idx, mask, a2, w_flat)
+
+
+def slot_attention_partials_pallas(
+    query: jnp.ndarray,  # (N, H, D)
+    key: jnp.ndarray,  # (Ns, H, D)
+    value: jnp.ndarray,  # (Ns, H, D)
+    a_slots: jnp.ndarray,  # (R, A2) ones-augmented raw edge attrs
+    w_aug: jnp.ndarray,  # (A2, H, D)
+    plan: EdgeKernelPlan,
+    interpret: bool = False,
+):
+    """Kernel-backed twin of ``slot_attention_partials`` (same partials out)."""
+    n, h, d = query.shape
+    ns = key.shape[0]
+    c = h * d
+    nb, cap, slab = plan.block_nodes, plan.cap, plan.slab_width
+    npad = plan.padded_dst
+
+    q2 = _pad_rows(query.reshape(n, c), npad)
+    ns_pad = max(-(-ns // 8) * 8, slab)
+    k2 = _pad_rows(key.reshape(ns, c), ns_pad)
+    v2 = _pad_rows(value.reshape(ns, c), ns_pad)
+    w_flat = w_aug.reshape(w_aug.shape[0], c).astype(q2.dtype)
+    a2 = a_slots.astype(q2.dtype)
+
+    num, den, m = _pallas_fwd(
         jnp.asarray(plan.slab_start),
-        q2,
-        k2,
-        v2,
+        q2, k2, v2,
         jnp.asarray(plan.src_slab_idx),
         jnp.asarray(plan.slot_mask),
-        a2,
-        w_flat,
+        a2, w_flat,
+        nb=nb, cap=cap, slab=slab, heads=h, head_dim=d, interpret=interpret,
     )
     from anemoi_models_tpu.ops.slot_attention import AttentionPartials
 
@@ -324,26 +351,32 @@ def _bwd_kernel(
         dw_ref[:] = dw_ref[:] + dw_part
 
 
-def _slot_attention_bwd_pallas(
-    query, key, value, a_slots, w_aug, m, g_num, g_den, plan, interpret=False
+def _pallas_bwd(
+    starts,  # (nblk,) int32
+    q2,  # (npad, C)
+    k2,  # (ns_pad, C)
+    v2,
+    idx,  # (R, 1)
+    mask,  # (R, 1)
+    a2,  # (R, A2)
+    w_flat,  # (A2, C)
+    m2,  # (npad, H) f32
+    gn2,  # (npad, C) f32
+    gd2,  # (npad, H) f32
+    *,
+    nb: int,
+    cap: int,
+    slab: int,
+    heads: int,
+    head_dim: int,
+    interpret: bool,
 ):
-    """Hand-written backward: (dq, dk, dv, da_slots, dw_aug) in primal dtypes."""
-    n, h, d = query.shape
-    ns = key.shape[0]
-    c = h * d
-    nb, cap, slab = plan.block_nodes, plan.cap, plan.slab_width
-    nblk, npad = plan.num_blocks, plan.padded_dst
+    """Shared backward pallas_call. Returns raw per-block outputs
+    (dq, dk_slabs, dv_slabs, da, dw); slab gradients still need overlap-add."""
+    c = heads * head_dim
+    nblk = starts.shape[0]
     rb = nb * cap
-
-    q2 = _pad_rows(query.reshape(n, c), npad)
-    ns_pad = max(-(-ns // 8) * 8, slab)
-    k2 = _pad_rows(key.reshape(ns, c), ns_pad)
-    v2 = _pad_rows(value.reshape(ns, c), ns_pad)
-    w_flat = w_aug.reshape(w_aug.shape[0], c).astype(q2.dtype)
-    a2 = a_slots.astype(q2.dtype)
-    m2 = _pad_rows(m.astype(jnp.float32), npad)
-    gn2 = _pad_rows(g_num.reshape(n, c).astype(jnp.float32), npad)
-    gd2 = _pad_rows(g_den.astype(jnp.float32), npad)
+    npad = nblk * nb
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -356,9 +389,9 @@ def _slot_attention_bwd_pallas(
             pl.BlockSpec((rb, 1), lambda b, ss: (b, 0)),
             pl.BlockSpec((rb, a2.shape[1]), lambda b, ss: (b, 0)),
             pl.BlockSpec((w_flat.shape[0], c), lambda b, ss: (0, 0)),
-            pl.BlockSpec((nb, h), lambda b, ss: (b, 0)),
+            pl.BlockSpec((nb, heads), lambda b, ss: (b, 0)),
             pl.BlockSpec((nb, c), lambda b, ss: (b, 0)),
-            pl.BlockSpec((nb, h), lambda b, ss: (b, 0)),
+            pl.BlockSpec((nb, heads), lambda b, ss: (b, 0)),
         ],
         out_specs=[
             pl.BlockSpec((nb, c), lambda b, ss: (b, 0)),
@@ -375,9 +408,9 @@ def _slot_attention_bwd_pallas(
         ],
     )
     kernel = functools.partial(
-        _bwd_kernel, nb=nb, cap=cap, slab=slab, heads=h, head_dim=d
+        _bwd_kernel, nb=nb, cap=cap, slab=slab, heads=heads, head_dim=head_dim
     )
-    dq, dk_slabs, dv_slabs, da, dw = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -388,18 +421,36 @@ def _slot_attention_bwd_pallas(
             jax.ShapeDtypeStruct((w_flat.shape[0], c), jnp.float32),
         ],
         interpret=interpret,
-    )(
+    )(starts, q2, k2, v2, idx, mask, a2, w_flat, m2, gn2, gd2)
+
+
+def _slot_attention_bwd_pallas(
+    query, key, value, a_slots, w_aug, m, g_num, g_den, plan, interpret=False
+):
+    """Hand-written backward: (dq, dk, dv, da_slots, dw_aug) in primal dtypes."""
+    n, h, d = query.shape
+    ns = key.shape[0]
+    c = h * d
+    nb, cap, slab = plan.block_nodes, plan.cap, plan.slab_width
+    nblk, npad = plan.num_blocks, plan.padded_dst
+
+    q2 = _pad_rows(query.reshape(n, c), npad)
+    ns_pad = max(-(-ns // 8) * 8, slab)
+    k2 = _pad_rows(key.reshape(ns, c), ns_pad)
+    v2 = _pad_rows(value.reshape(ns, c), ns_pad)
+    w_flat = w_aug.reshape(w_aug.shape[0], c).astype(q2.dtype)
+    a2 = a_slots.astype(q2.dtype)
+    m2 = _pad_rows(m.astype(jnp.float32), npad)
+    gn2 = _pad_rows(g_num.reshape(n, c).astype(jnp.float32), npad)
+    gd2 = _pad_rows(g_den.astype(jnp.float32), npad)
+
+    dq, dk_slabs, dv_slabs, da, dw = _pallas_bwd(
         jnp.asarray(plan.slab_start),
-        q2,
-        k2,
-        v2,
+        q2, k2, v2,
         jnp.asarray(plan.src_slab_idx),
         jnp.asarray(plan.slot_mask),
-        a2,
-        w_flat,
-        m2,
-        gn2,
-        gd2,
+        a2, w_flat, m2, gn2, gd2,
+        nb=nb, cap=cap, slab=slab, heads=h, head_dim=d, interpret=interpret,
     )
 
     # overlap-add the per-block slab gradients into source rows. slab starts
@@ -478,3 +529,112 @@ def _kernel_bwd(plan, interpret, res, g):
 
 
 slot_attention_partials_kernel.defvjp(_kernel_fwd, _kernel_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Arrays-parameterized variant: the plan arrays are *operands*, not baked
+# constants — required inside shard_map, where every shard runs one SPMD
+# program over its own (stacked, shard-sliced) plan (graphs/kernel_plan.py:
+# build_halo_kernel_plans). Static dims (nb, cap, slab) are nondiff args.
+# ---------------------------------------------------------------------------
+
+
+def _arrays_fwd_impl(query, key, value, a_slots, w_aug, starts, src_idx, slot_mask,
+                     nb, cap, slab, interpret):
+    n, h, d = query.shape
+    c = h * d
+    nblk = starts.shape[0]
+    npad = nblk * nb
+    ns = key.shape[0]
+    ns_pad = max(-(-ns // 8) * 8, slab)
+
+    q2 = _pad_rows(query.reshape(n, c), npad)
+    k2 = _pad_rows(key.reshape(ns, c), ns_pad)
+    v2 = _pad_rows(value.reshape(ns, c), ns_pad)
+    w_flat = w_aug.reshape(w_aug.shape[0], c).astype(q2.dtype)
+    a2 = a_slots.astype(q2.dtype)
+
+    num, den, m = _pallas_fwd(
+        starts, q2, k2, v2, src_idx, slot_mask, a2, w_flat,
+        nb=nb, cap=cap, slab=slab, heads=h, head_dim=d, interpret=interpret,
+    )
+    from anemoi_models_tpu.ops.slot_attention import AttentionPartials
+
+    return AttentionPartials(num=num[:n].reshape(n, h, d), den=den[:n], m=m[:n])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def slot_attention_arrays_kernel(query, key, value, a_slots, w_aug,
+                                 starts, src_idx, slot_mask,
+                                 nb, cap, slab, interpret=False):
+    """Hand-written fwd+bwd kernels over traced plan arrays.
+
+    Same m-gauge contract as :func:`slot_attention_partials_kernel`. The
+    slab-gradient overlap-add runs as a short ``lax.scan`` (num_blocks per
+    shard is small) because traced starts preclude static interval coloring.
+    """
+    return _arrays_fwd_impl(query, key, value, a_slots, w_aug,
+                            starts, src_idx, slot_mask, nb, cap, slab, interpret)
+
+
+def _arrays_fwd(query, key, value, a_slots, w_aug, starts, src_idx, slot_mask,
+                nb, cap, slab, interpret=False):
+    out = _arrays_fwd_impl(query, key, value, a_slots, w_aug,
+                           starts, src_idx, slot_mask, nb, cap, slab, interpret)
+    return out, (query, key, value, a_slots, w_aug, starts, src_idx, slot_mask, out.m)
+
+
+def _arrays_bwd(nb, cap, slab, interpret, res, g):
+    query, key, value, a_slots, w_aug, starts, src_idx, slot_mask, m = res
+    n, h, d = query.shape
+    c = h * d
+    nblk = starts.shape[0]
+    npad = nblk * nb
+    ns = key.shape[0]
+    ns_pad = max(-(-ns // 8) * 8, slab)
+
+    q2 = _pad_rows(query.reshape(n, c), npad)
+    k2 = _pad_rows(key.reshape(ns, c), ns_pad)
+    v2 = _pad_rows(value.reshape(ns, c), ns_pad)
+    w_flat = w_aug.reshape(w_aug.shape[0], c).astype(q2.dtype)
+    a2 = a_slots.astype(q2.dtype)
+    m2 = _pad_rows(m.astype(jnp.float32), npad)
+    gn2 = _pad_rows(g.num.reshape(n, c).astype(jnp.float32), npad)
+    gd2 = _pad_rows(g.den.astype(jnp.float32), npad)
+
+    dq, dk_slabs, dv_slabs, da, dw = _pallas_bwd(
+        starts, q2, k2, v2, src_idx, slot_mask, a2, w_flat, m2, gn2, gd2,
+        nb=nb, cap=cap, slab=slab, heads=h, head_dim=d, interpret=interpret,
+    )
+
+    dk_slabs = dk_slabs.reshape(nblk, slab, c)
+    dv_slabs = dv_slabs.reshape(nblk, slab, c)
+
+    def overlap_add(acc, inp):
+        start, gk, gv = inp
+        ak = jax.lax.dynamic_slice(acc[0], (start, 0), (slab, c))
+        av = jax.lax.dynamic_slice(acc[1], (start, 0), (slab, c))
+        return (
+            jax.lax.dynamic_update_slice(acc[0], ak + gk, (start, 0)),
+            jax.lax.dynamic_update_slice(acc[1], av + gv, (start, 0)),
+        ), None
+
+    zero = jnp.zeros((ns_pad, c), jnp.float32)
+    (dk_full, dv_full), _ = jax.lax.scan(
+        overlap_add, (zero, zero), (starts, dk_slabs, dv_slabs)
+    )
+
+    f0 = jax.dtypes.float0
+    return (
+        dq[:n].reshape(n, h, d).astype(query.dtype),
+        dk_full[:ns].reshape(ns, h, d).astype(key.dtype),
+        dv_full[:ns].reshape(ns, h, d).astype(value.dtype),
+        da.astype(a_slots.dtype),
+        dw.reshape(w_aug.shape).astype(w_aug.dtype),
+        np.zeros(starts.shape, dtype=f0),
+        np.zeros(src_idx.shape, dtype=f0),
+        jnp.zeros_like(slot_mask),
+    )
+
+
+slot_attention_arrays_kernel.defvjp(_arrays_fwd, _arrays_bwd)

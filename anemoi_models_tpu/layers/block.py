@@ -40,10 +40,14 @@ import jax
 class HaloTables:
     """Static marker routing a GraphTransformer conv to the halo-partitioned
     execution (``parallel/halo_conv.halo_graph_transformer_conv``) — the
-    multi-chip default for self-graph processors under a >1 model axis."""
+    multi-chip default for self-graph processors under a >1 model axis.
+    With ``plans`` (a ``graphs.kernel_plan.ShardedKernelPlan``), each shard
+    runs the fused Pallas kernel on its local subgraph instead of the COO
+    segment path (``graph_impl="pallas"`` under a mesh)."""
 
-    def __init__(self, part):
+    def __init__(self, part, plans=None):
         self.part = part
+        self.plans = plans
 
 
 def num_chunks_inference() -> int:
@@ -240,18 +244,32 @@ class _GraphTransformerBase(nn.Module):
             from anemoi_models_tpu.parallel.api import get_mesh
             from anemoi_models_tpu.parallel.halo_conv import (
                 halo_graph_transformer_conv,
+                halo_planned_edge_attention,
                 shard_edge_values,
             )
 
             mesh = get_mesh()
             a0 = edges[0]  # raw edge attrs, batch-invariant
-            a_sh = shard_edge_values(a0, tables.part)  # (S, E_pad, A)
-            a_sh = jnp.concatenate([a_sh, jnp.ones_like(a_sh[..., :1])], axis=-1)
             w_aug = _affine_from_closure(
                 edge_transform, a0.shape[-1], self.num_heads, self.out_channels_conv
-            ).astype(a_sh.dtype)
+            )
+            if tables.plans is not None:
+                sp = tables.plans
+                a_slots = jnp.take(a0, jnp.asarray(sp.edge_ids), axis=0)  # (S, R, A)
+                a_slots = jnp.concatenate(
+                    [a_slots, jnp.ones_like(a_slots[..., :1])], axis=-1
+                ) * jnp.asarray(sp.slot_mask)
+                e_out = edge_transform(
+                    jnp.take(a0, jnp.asarray(sp.out_eid), axis=0)
+                )  # (S, Eo, H, D)
+                return halo_planned_edge_attention(
+                    mesh, tables.part, sp, query, key, value,
+                    a_slots, e_out, w_aug,
+                )
+            a_sh = shard_edge_values(a0, tables.part)  # (S, E_pad, A)
+            a_sh = jnp.concatenate([a_sh, jnp.ones_like(a_sh[..., :1])], axis=-1)
             return halo_graph_transformer_conv(
-                mesh, tables.part, query, key, value, a_sh, w_aug
+                mesh, tables.part, query, key, value, a_sh, w_aug.astype(a_sh.dtype)
             )
         if tables is not None or num_chunks <= 1:
             return graph_transformer_conv(

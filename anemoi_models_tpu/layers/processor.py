@@ -83,7 +83,18 @@ def _tables(
             key = ("halo_part", num_dst, shards)
             if key not in cache:
                 cache[key] = partition_1hop(sub_graph.edge_index, num_dst, shards)
-            return HaloTables(part=cache[key])
+            plans = None
+            if graph_impl == "pallas":
+                import os
+
+                from anemoi_models_tpu.graphs.kernel_plan import build_halo_kernel_plans
+
+                nb = int(os.environ.get("ANEMOI_PLAN_BLOCK_NODES", "128"))
+                pkey = ("halo_kernel_plans", num_dst, shards, nb)
+                if pkey not in cache:
+                    cache[pkey] = build_halo_kernel_plans(cache[key], block_nodes=nb)
+                plans = cache[pkey]
+            return HaloTables(part=cache[key], plans=plans)
     if graph_impl == "pallas":
         import os
 

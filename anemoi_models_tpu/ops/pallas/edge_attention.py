@@ -313,7 +313,10 @@ def _bwd_kernel(
     ke = k_n + e_n
     logits = mm(q_rep * ke, g1, ((1,), (0,))) * scale  # (RB, H)
     m_rep = mm(rep_oh_f, m_ref[:], ((1,), (0,)))  # (RB, H)
-    w = jnp.exp(logits - m_rep) * mask_ref[:]  # (RB, H); m is the fwd gauge
+    # live slots satisfy logits <= m (m is their max), so the clamp is exact;
+    # it only guards dead destinations where m is the -1e30 floor and the
+    # unmasked recomputed logit would overflow exp to inf (then inf*0 = NaN)
+    w = jnp.exp(jnp.minimum(logits - m_rep, 0.0)) * mask_ref[:]  # (RB, H)
 
     gn_rep = mm(rep_oh_f, gn_ref[:], ((1,), (0,)))  # (RB, C)
     gd_rep = mm(rep_oh_f, gd_ref[:], ((1,), (0,)))  # (RB, H)

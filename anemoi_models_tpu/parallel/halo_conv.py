@@ -31,6 +31,7 @@ __all__ = [
     "graph_conv_params",
     "halo_graph_conv",
     "halo_graph_transformer_conv",
+    "halo_planned_edge_attention",
     "shard_edge_values",
 ]
 
@@ -220,6 +221,142 @@ def halo_graph_transformer_conv(
         out_specs=P(None, axis, None),
     )
     out = run(q_pad, k_pad, v_pad, bc, hs, hm, le, em, a_sharded, w_aug)
+    return unpad_nodes(out, part).reshape(b, n, h, d)
+
+
+@jax.custom_vjp
+def _perm_rows(x: jnp.ndarray, perm: jnp.ndarray, inv: jnp.ndarray) -> jnp.ndarray:
+    """Permute rows (axis -2) by a bijection; the adjoint is the inverse
+    permutation gather — never a scatter."""
+    return jnp.take(x, perm, axis=-2)
+
+
+def _perm_rows_fwd(x, perm, inv):
+    return jnp.take(x, perm, axis=-2), (perm, inv)
+
+
+def _perm_rows_bwd(res, g):
+    perm, inv = res
+    f0 = np.zeros(perm.shape, dtype=jax.dtypes.float0)
+    return jnp.take(g, inv, axis=-2), f0, np.zeros(inv.shape, dtype=jax.dtypes.float0)
+
+
+_perm_rows.defvjp(_perm_rows_fwd, _perm_rows_bwd)
+
+
+def halo_planned_edge_attention(
+    mesh: Mesh,
+    part: HaloPartition,
+    sp,  # graphs.kernel_plan.ShardedKernelPlan
+    query: jnp.ndarray,  # (B, N, H, D)
+    key: jnp.ndarray,  # (B, N, H, D)
+    value: jnp.ndarray,  # (B, N, H, D)
+    a_slots_sh: jnp.ndarray,  # (S, R, A+1) ones-augmented, mask-zeroed slot attrs
+    e_out_sh: jnp.ndarray,  # (S, Eo, H, D) projected outlier edge features
+    w_aug: jnp.ndarray,  # (A+1, H, D)
+    axis: str = "model",
+) -> jnp.ndarray:
+    """Per-edge attention through per-shard fused-kernel plans under halo
+    exchange — the multi-chip execution of ``graph_impl="pallas"``.
+
+    Each shard assembles its halo-extended k/v, permutes them into the plan's
+    contiguized (global-id) order — restoring the RCM slab contiguity the
+    kernel needs, with a bijective gather whose adjoint is itself a gather —
+    then runs the hand-written Pallas forward/backward kernels on its local
+    blocks and merges the out-of-plan (long-range multiscale) edges from a
+    masked COO partial. Replaces the reference's full-node all-gather + COO
+    scatter per layer (``layers/block.py:203``, ``layers/conv.py:79-142``).
+    """
+    from anemoi_models_tpu.ops.pallas.edge_attention import slot_attention_arrays_kernel
+    from anemoi_models_tpu.ops.slot_attention import (
+        coo_attention_partials,
+        finalize_partials,
+        merge_partials,
+    )
+
+    b, n, h, d = query.shape
+    c = h * d
+    nps = part.nodes_per_shard
+    interpret = jax.default_backend() != "tpu"
+
+    bc = jnp.asarray(part.boundary_contrib)
+    hs = jnp.asarray(part.halo_select)
+    hm = jnp.asarray(part.halo_mask)
+    c2e = jnp.asarray(sp.cont_to_ext)
+    e2c = jnp.asarray(sp.ext_to_cont)
+    starts = jnp.asarray(sp.slab_start)
+    src_idx = jnp.asarray(sp.src_slab_idx)
+    slot_mask = jnp.asarray(sp.slot_mask)
+    o_src = jnp.asarray(sp.out_src)
+    o_dst = jnp.asarray(sp.out_dst)
+    o_mask = jnp.asarray(sp.out_mask)
+
+    def flat_pad(t):
+        return pad_nodes(t.reshape(b, n, c), part)
+
+    q_pad, k_pad, v_pad = flat_pad(query), flat_pad(key), flat_pad(value)
+
+    def local(q_blk, k_blk, v_blk, bc_blk, hs_blk, hm_blk, c2e_blk, e2c_blk,
+              st_blk, si_blk, sm_blk, os_blk, od_blk, om_blk, a_blk, eo_blk, w):
+        def ext_cont(t_blk):
+            contrib = jnp.take(t_blk, bc_blk[0], axis=1)
+            pool = jax.lax.all_gather(contrib, axis, axis=1, tiled=True)
+            halo = jnp.take(pool, hs_blk[0], axis=1) * hm_blk[0][None, :, None].astype(t_blk.dtype)
+            x_ext = jnp.concatenate([t_blk, halo], axis=1)
+            pad = sp.ext_rows - x_ext.shape[1]
+            if pad:
+                x_ext = jnp.pad(x_ext, ((0, 0), (0, pad), (0, 0)))
+            return _perm_rows(x_ext, c2e_blk[0], e2c_blk[0])
+
+        k_cont, v_cont = ext_cont(k_blk), ext_cont(v_blk)
+
+        def one(q1, k1, v1, eo1):
+            p = slot_attention_arrays_kernel(
+                q1.reshape(nps, h, d), k1.reshape(-1, h, d), v1.reshape(-1, h, d),
+                a_blk[0], w, st_blk[0], si_blk[0], sm_blk[0],
+                sp.block_nodes, sp.cap, sp.slab_width, interpret,
+            )
+            p2 = coo_attention_partials(
+                q1.reshape(nps, h, d), k1.reshape(-1, h, d), v1.reshape(-1, h, d),
+                eo1, os_blk[0], od_blk[0], nps, mask=om_blk[0],
+            )
+            return finalize_partials(merge_partials(p, p2), value.dtype).reshape(nps, c)
+
+        eo = eo_blk[0]
+        out = jnp.stack([
+            one(q_blk[i], k_cont[i], v_cont[i], eo if eo.ndim == 3 else eo[i])
+            for i in range(b)
+        ])
+        return out
+
+    run = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis, None),
+            P(None, axis, None),
+            P(None, axis, None),
+            P(axis, None),
+            P(axis, None),
+            P(axis, None),
+            P(axis, None),
+            P(axis, None),
+            P(axis, None),
+            P(axis, None, None),
+            P(axis, None, None),
+            P(axis, None),
+            P(axis, None),
+            P(axis, None),
+            P(axis, None, None),
+            P(axis, None, None, None),
+            P(),
+        ),
+        out_specs=P(None, axis, None),
+        # pallas_call carries no varying-mesh-axes metadata on its outputs
+        check_vma=False,
+    )
+    out = run(q_pad, k_pad, v_pad, bc, hs, hm, c2e, e2c, starts, src_idx,
+              slot_mask, o_src, o_dst, o_mask, a_slots_sh, e_out_sh, w_aug)
     return unpad_nodes(out, part).reshape(b, n, h, d)
 
 

@@ -232,16 +232,33 @@ class ShardedKernelPlan:
     slab_width: int
     num_blocks: int  # per shard
     ext_rows: int  # padded length of the contiguized source tensor (mult. of 8)
+    num_edges: int  # global edge count; padded id slots carry this sentinel
     cont_to_ext: np.ndarray  # (S, ext_rows) int32 — cont position -> ext row
     ext_to_cont: np.ndarray  # (S, ext_rows) int32 — inverse permutation
     slab_start: np.ndarray  # (S, num_blocks) int32
     src_slab_idx: np.ndarray  # (S, R, 1) int32, R = num_blocks*block_nodes*cap
     slot_mask: np.ndarray  # (S, R, 1) float32
-    edge_ids: np.ndarray  # (S, R) int64 global edge id per slot (0 if padded)
+    edge_ids: np.ndarray  # (S, R) int64 global edge id per slot (num_edges if padded)
     out_src: np.ndarray  # (S, Eo) int32 — contiguized source row
     out_dst: np.ndarray  # (S, Eo) int32 — shard-local destination
-    out_eid: np.ndarray  # (S, Eo) int64 global edge ids (0 if padded)
+    out_eid: np.ndarray  # (S, Eo) int64 global edge ids (num_edges if padded)
     out_mask: np.ndarray  # (S, Eo) float32
+    # scatter-free adjoints for the gathers around the kernel: position of
+    # each global edge in the flattened slot / outlier layouts (−1 = absent),
+    # and per-shard padded transpose tables for the outlier q/k/v gathers
+    slot_pos_of_edge: np.ndarray = None  # (E,) int32 into flattened (S·R)
+    out_pos_of_edge: np.ndarray = None  # (E,) int32 into flattened (S·Eo)
+    t_out_src: tuple = None  # ((S, ext_rows, M) int32, (S, ext_rows, M) bool)
+    t_out_dst: tuple = None  # ((S, nps, Md) int32, (S, nps, Md) bool)
+    # inverse tables for the halo-exchange gathers themselves (each local row
+    # contributes to <=1 pool slot per shard; each pool slot feeds <=1 halo
+    # row per shard), so those adjoints are masked takes too
+    t_contrib: tuple = None  # ((S, nps, 1), mask)
+    t_halo: tuple = None  # ((S, S*B_pad, 1), mask)
+    # inverse of t_out_dst: flattened (nps*Md) slot of each outlier position
+    # (−1 dead) — lets the outlier partials run destination-wise (dense
+    # masked reductions, no segment scatters) with take-only adjoints
+    out_slot_of_pos: np.ndarray = None  # (S, Eo) int32
 
     @property
     def coverage(self) -> float:
@@ -316,6 +333,7 @@ def build_halo_kernel_plans(
     nblk = plans[0].num_blocks
     rows = plans[0].padded_dst * cap
     eo = max(max(len(p.outlier_src) for p in plans), 1)
+    num_edges = int(part.edge_mask.sum())
     sp = ShardedKernelPlan(
         num_shards=s_count,
         nodes_per_shard=nps,
@@ -324,29 +342,101 @@ def build_halo_kernel_plans(
         slab_width=plans[0].slab_width,
         num_blocks=nblk,
         ext_rows=ext_rows,
+        num_edges=num_edges,
         cont_to_ext=cont_to_ext,
         ext_to_cont=ext_to_cont,
         slab_start=np.stack([p.slab_start for p in plans]),
         src_slab_idx=np.stack([p.src_slab_idx for p in plans]),
         slot_mask=np.stack([p.slot_mask for p in plans]),
-        edge_ids=np.zeros((s_count, rows), dtype=np.int64),
+        edge_ids=np.full((s_count, rows), num_edges, dtype=np.int64),
         out_src=np.zeros((s_count, eo), dtype=np.int32),
         out_dst=np.zeros((s_count, eo), dtype=np.int32),
-        out_eid=np.zeros((s_count, eo), dtype=np.int64),
+        out_eid=np.full((s_count, eo), num_edges, dtype=np.int64),
         out_mask=np.zeros((s_count, eo), dtype=np.float32),
+        slot_pos_of_edge=np.full(num_edges, -1, dtype=np.int32),
+        out_pos_of_edge=np.full(num_edges, -1, dtype=np.int32),
     )
+    ts_tab, ts_mask, td_tab, td_mask = [], [], [], []
     for s, p in enumerate(plans):
         # plan edge ids are positions into this shard's live edge list; map
         # them back to global edge ids via the partition's per-shard table
         shard_gids = part.edge_ids[s][part.edge_mask[s]]
-        live_slots = p.slot_mask[:, 0] > 0
-        sp.edge_ids[s][live_slots] = shard_gids[p.edge_ids[live_slots]]
+        live_slots = np.nonzero(p.slot_mask[:, 0] > 0)[0]
+        gids = shard_gids[p.edge_ids[live_slots]]
+        sp.edge_ids[s][live_slots] = gids
+        sp.slot_pos_of_edge[gids] = (s * rows + live_slots).astype(np.int32)
         k = len(p.outlier_src)
         sp.out_src[s, :k] = p.outlier_src
         sp.out_dst[s, :k] = p.outlier_dst
-        sp.out_eid[s, :k] = shard_gids[p.outlier_edge_ids]
+        ogids = shard_gids[p.outlier_edge_ids]
+        sp.out_eid[s, :k] = ogids
         sp.out_mask[s, :k] = 1.0
+        sp.out_pos_of_edge[ogids] = (s * eo + np.arange(k)).astype(np.int32)
+        # padded transpose tables: outlier positions per contiguized source
+        # row / per local destination — the k/v and q gather adjoints become
+        # masked position-takes (scatter-free backward under the mesh)
+        src_ids = np.where(sp.out_mask[s] > 0, sp.out_src[s], -1)
+        dst_ids = np.where(sp.out_mask[s] > 0, sp.out_dst[s], -1)
+        for ids, nrows, tabs, masks in (
+            (src_ids, ext_rows, ts_tab, ts_mask),
+            (dst_ids, nps, td_tab, td_mask),
+        ):
+            tab, msk = _padded_transpose(ids, nrows)
+            tabs.append(tab)
+            masks.append(msk)
+
+    def stack_padded(tabs, masks):
+        m = max(t.shape[1] for t in tabs)
+        tab = np.stack([np.pad(t, ((0, 0), (0, m - t.shape[1])), constant_values=-1) for t in tabs])
+        msk = np.stack([np.pad(k, ((0, 0), (0, m - k.shape[1]))) for k in masks])
+        return tab.astype(np.int32), msk
+
+    sp.t_out_src = stack_padded(ts_tab, ts_mask)
+    sp.t_out_dst = stack_padded(td_tab, td_mask)
+    dtab, dmask = sp.t_out_dst
+    md = dtab.shape[2]
+    sp.out_slot_of_pos = np.full((s_count, eo), -1, dtype=np.int32)
+    for s in range(s_count):
+        rr, jj = np.nonzero(dmask[s])
+        sp.out_slot_of_pos[s][dtab[s][rr, jj]] = (rr * md + jj).astype(np.int32)
+
+    b_pad = part.boundary_contrib.shape[1]
+    pool_rows = s_count * b_pad
+    pool_live = np.zeros(pool_rows, dtype=bool)
+    pool_live[part.halo_select[part.halo_mask]] = True
+    tc_tab, tc_mask, th_tab, th_mask = [], [], [], []
+    for s in range(s_count):
+        live = pool_live[s * b_pad + np.arange(b_pad)]
+        tab, msk = _padded_transpose(np.where(live, part.boundary_contrib[s], -1), nps)
+        tc_tab.append(tab)
+        tc_mask.append(msk)
+        tab, msk = _padded_transpose(
+            np.where(part.halo_mask[s], part.halo_select[s], -1), pool_rows
+        )
+        th_tab.append(tab)
+        th_mask.append(msk)
+    sp.t_contrib = stack_padded(tc_tab, tc_mask)
+    sp.t_halo = stack_padded(th_tab, th_mask)
     return sp
+
+
+def _padded_transpose(ids: np.ndarray, rows: int) -> tuple[np.ndarray, np.ndarray]:
+    """(P,) gather ids (−1 dead) -> ((rows, M) positions, (rows, M) mask):
+    for each source row, the gather positions that read it, padded to the
+    max multiplicity M. The adjoint of ``x -> x[ids]`` is then a masked
+    position-take + sum over M — no scatter."""
+    ids = np.asarray(ids).ravel()
+    pos = np.nonzero(ids >= 0)[0]
+    r = ids[pos]
+    order = np.argsort(r, kind="stable")
+    r, pos = r[order], pos[order]
+    counts = np.bincount(r, minlength=rows)
+    m = max(int(counts.max()) if len(r) else 0, 1)
+    offsets = np.zeros(rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    tab = np.full((rows, m), -1, dtype=np.int64)
+    tab[r, np.arange(len(r)) - offsets[r]] = pos
+    return tab, tab >= 0
 
 
 def edge_set_kernel_plan(

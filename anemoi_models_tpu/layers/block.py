@@ -254,14 +254,10 @@ class _GraphTransformerBase(nn.Module):
                 edge_transform, a0.shape[-1], self.num_heads, self.out_channels_conv
             )
             if tables.plans is not None:
+                from anemoi_models_tpu.ops.slot_attention import halo_planned_edge_inputs
+
                 sp = tables.plans
-                a_slots = jnp.take(a0, jnp.asarray(sp.edge_ids), axis=0)  # (S, R, A)
-                a_slots = jnp.concatenate(
-                    [a_slots, jnp.ones_like(a_slots[..., :1])], axis=-1
-                ) * jnp.asarray(sp.slot_mask)
-                e_out = edge_transform(
-                    jnp.take(a0, jnp.asarray(sp.out_eid), axis=0)
-                )  # (S, Eo, H, D)
+                a_slots, e_out, w_aug = halo_planned_edge_inputs(a0, sp, edge_transform)
                 return halo_planned_edge_attention(
                     mesh, tables.part, sp, query, key, value,
                     a_slots, e_out, w_aug,

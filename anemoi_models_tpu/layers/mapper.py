@@ -54,6 +54,8 @@ class _GraphTransformerBaseMapper(nn.Module):
     src_grid_size: int = 0
     dst_grid_size: int = 0
     graph_impl: str = "dense"
+    plan_block_nodes: int = 0  # kernel-plan geometry; 0 = default (128)
+    plan_slab_width: int = 0  # 0 = auto-select
     deterministic: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -74,7 +76,11 @@ class _GraphTransformerBaseMapper(nn.Module):
             from anemoi_models_tpu.graphs.kernel_plan import edge_set_kernel_plan
             from anemoi_models_tpu.ops.slot_attention import PlannedTables
 
-            plan = edge_set_kernel_plan(self.sub_graph, num_dst, num_src)
+            plan = edge_set_kernel_plan(
+                self.sub_graph, num_dst, num_src,
+                block_nodes=self.plan_block_nodes or 128,
+                slab_width=self.plan_slab_width,
+            )
             return PlannedTables(plan=plan, impl="auto")
         if self.graph_impl != "dense":
             return None

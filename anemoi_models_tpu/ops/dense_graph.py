@@ -9,7 +9,7 @@ to the ``ops/segment.py`` reference path (tests assert it).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -18,9 +18,95 @@ __all__ = [
     "gather_edges",
     "masked_neighbor_sum",
     "dense_edge_attention",
+    "PaddedTranspose",
     "TransposeBundle",
+    "padded_take",
+    "padded_transpose_sum",
+    "table_take",
     "take_rows",
 ]
+
+
+class PaddedTranspose(NamedTuple):
+    """Single-cap transpose layout (``graphs.kernel_plan._padded_transpose``):
+    per source row, the gather positions reading it, padded to the max
+    multiplicity. Arrays may be traced (shard-sliced inside shard_map)."""
+
+    tab: jnp.ndarray  # (rows, M) int32, −1 = dead
+    mask: jnp.ndarray  # (rows, M) bool
+
+
+def padded_transpose_sum(g: jnp.ndarray, t: PaddedTranspose) -> jnp.ndarray:
+    """Adjoint of ``x -> x[ids]`` via a padded transpose: gather the
+    cotangent rows at each source row's positions and reduce. ``g`` (P, ...)
+    -> (rows, ...)."""
+    safe = jnp.where(t.tab >= 0, t.tab, 0)
+    got = jnp.take(g, safe, axis=0)  # (rows, M, ...)
+    m = t.mask.reshape(t.mask.shape + (1,) * (g.ndim - 1))
+    return jnp.where(m, got, 0).sum(axis=1)
+
+
+@jax.custom_vjp
+def padded_take(x: jnp.ndarray, ids: jnp.ndarray, tab: jnp.ndarray, mask: jnp.ndarray):
+    """Row gather whose backward is the padded-transpose reduce. All layout
+    arrays are *primal args* (they may be traced, e.g. shard-sliced inside
+    shard_map — closure-captured adjoints would leak tracers across the vjp)."""
+    return jnp.take(x, ids, axis=0)
+
+
+def _padded_take_fwd(x, ids, tab, mask):
+    # residuals must be arrays: a 0-dim carrier remembers x's dtype
+    return jnp.take(x, ids, axis=0), (jnp.zeros((), x.dtype), ids, tab, mask)
+
+
+def _padded_take_bwd(res, g):
+    import numpy as _np
+
+    dtype_carrier, ids, tab, mask = res
+    f0 = jax.dtypes.float0
+    dx = padded_transpose_sum(g, PaddedTranspose(tab, mask)).astype(dtype_carrier.dtype)
+    return (
+        dx,
+        _np.zeros(ids.shape, dtype=f0),
+        _np.zeros(tab.shape, dtype=f0),
+        _np.zeros(mask.shape, dtype=f0),
+    )
+
+
+padded_take.defvjp(_padded_take_fwd, _padded_take_bwd)
+
+
+@jax.custom_vjp
+def table_take(x: jnp.ndarray, tab: jnp.ndarray, mask: jnp.ndarray, inv: jnp.ndarray):
+    """Gather rows of ``x`` (P, ...) into a (rows, M, ...) table layout where
+    each position appears at most once; the backward is one masked
+    position-take over ``inv`` (P,) — flattened (rows·M) slot per position,
+    −1 = absent. All layout arrays are primal args (traced-safe)."""
+    safe = jnp.where(tab >= 0, tab, 0)
+    out = jnp.take(x, safe, axis=0)
+    return jnp.where(mask.reshape(mask.shape + (1,) * (x.ndim - 1)), out, 0)
+
+
+def _table_take_fwd(x, tab, mask, inv):
+    return table_take(x, tab, mask, inv), (jnp.zeros((), x.dtype), tab, mask, inv)
+
+
+def _table_take_bwd(res, g):
+    import numpy as _np
+
+    carrier, tab, mask, inv = res
+    f0 = jax.dtypes.float0
+    flat = g.reshape((-1,) + g.shape[2:])
+    dx = _masked_pos_take(flat, inv, inv.shape[0], axis=0).astype(carrier.dtype)
+    return (
+        dx,
+        _np.zeros(tab.shape, dtype=f0),
+        _np.zeros(mask.shape, dtype=f0),
+        _np.zeros(inv.shape, dtype=f0),
+    )
+
+
+table_take.defvjp(_table_take_fwd, _table_take_bwd)
 
 
 @jax.tree_util.register_static

@@ -37,6 +37,8 @@ __all__ = [
     "PlannedTables",
     "slot_attention_partials",
     "coo_attention_partials",
+    "dense_outlier_partials",
+    "halo_planned_edge_inputs",
     "merge_partials",
     "finalize_partials",
     "planned_edge_attention",
@@ -76,6 +78,44 @@ def _affine_from_closure(edge_transform, a_dim: int, num_heads: int, head_dim: i
     b = probed[-1]
     w = probed[:-1] - b[None]
     return jnp.concatenate([w, b[None]], axis=0)  # (A+1, H, D)
+
+
+def halo_planned_edge_inputs(a0: jnp.ndarray, sp, edge_transform):
+    """Build the sharded slot/outlier edge inputs for the halo kernel path.
+
+    ``a0`` (E, A) raw edge attributes (batch-invariant). Returns
+    ``(a_slots (S, R, A+1), e_out (S, Eo, H, D), w_aug (A+1, H, D))`` with
+    scatter-free gather adjoints: padded id slots point at an appended
+    sentinel zero row and every real edge is read exactly once, so each
+    adjoint is one masked position-take (``slot_pos_of_edge`` /
+    ``out_pos_of_edge``).
+    """
+    from anemoi_models_tpu.ops.dense_graph import _masked_pos_take, take_rows
+
+    e = a0.shape[0]
+    a0p = jnp.concatenate([a0, jnp.zeros_like(a0[:1])], axis=0)
+
+    def pad_row(g):
+        return jnp.concatenate([g, jnp.zeros_like(g[:1])], axis=0)
+
+    def adj_slots(g):  # (S, R, A) -> (E+1, A)
+        flat = g.reshape(-1, g.shape[-1])
+        return pad_row(_masked_pos_take(flat, sp.slot_pos_of_edge, e, axis=-2))
+
+    a_slots = take_rows(a0p, jnp.asarray(sp.edge_ids), 0, adj_slots)
+    a_slots = jnp.concatenate(
+        [a_slots, jnp.ones_like(a_slots[..., :1])], axis=-1
+    ) * jnp.asarray(sp.slot_mask)
+
+    def adj_out(g):  # (S, Eo, A) -> (E+1, A)
+        flat = g.reshape(-1, g.shape[-1])
+        return pad_row(_masked_pos_take(flat, sp.out_pos_of_edge, e, axis=-2))
+
+    a_out = take_rows(a0p, jnp.asarray(sp.out_eid), 0, adj_out)
+    e_out = edge_transform(a_out)  # (S, Eo, H, D)
+    h, d = e_out.shape[-2:]
+    w_aug = _affine_from_closure(edge_transform, a0.shape[-1], h, d)
+    return a_slots, e_out, w_aug
 
 
 def slot_attention_partials(
@@ -157,11 +197,19 @@ def coo_attention_partials(
 
         return adj
 
-    from anemoi_models_tpu.ops.dense_graph import take_rows
+    from anemoi_models_tpu.ops.dense_graph import PaddedTranspose, padded_take, take_rows
 
-    q_i = take_rows(query, dst, 0, make_adj(t_dst, query.shape[0]))
-    k_j = take_rows(key, src, 0, make_adj(t_src, key.shape[0])) + e_proj
-    v_j = take_rows(value, src, 0, make_adj(t_src, value.shape[0])) + e_proj
+    def gather(x, ids, t_tab):
+        # PaddedTranspose layouts may be traced (shard-sliced inside
+        # shard_map): padded_take keeps them as primal vjp args — a
+        # closure-captured adjoint would leak tracers across the backward
+        if isinstance(t_tab, PaddedTranspose):
+            return padded_take(x, ids, t_tab.tab, t_tab.mask)
+        return take_rows(x, ids, 0, make_adj(t_tab, x.shape[0]))
+
+    q_i = gather(query, dst, t_dst)
+    k_j = gather(key, src, t_src) + e_proj
+    v_j = gather(value, src, t_src) + e_proj
     logits = jnp.einsum("ehd,ehd->eh", q_i, k_j, preferred_element_type=jnp.float32) * scale
     if mask is not None:
         logits = jnp.where(mask[:, None] > 0, logits, _NEG)
@@ -175,6 +223,43 @@ def coo_attention_partials(
     den = segment_sum(w, dst, num_dst)
     contrib = (w[..., None] * v_j.astype(jnp.float32)).reshape(len(src), h * d)
     num = segment_sum(contrib, dst, num_dst).reshape(num_dst, h, d)
+    return AttentionPartials(num=num, den=den, m=m)
+
+
+def dense_outlier_partials(
+    query: jnp.ndarray,  # (N, H, D)
+    key: jnp.ndarray,  # (Ns, H, D)
+    value: jnp.ndarray,  # (Ns, H, D)
+    e_out: jnp.ndarray,  # (Eo, H, D) projected outlier edge features
+    out_src: jnp.ndarray,  # (Eo,) int32 source rows
+    t_src,  # PaddedTranspose over source rows (k/v gather adjoint)
+    dst_tab: jnp.ndarray,  # (N, Md) int32 outlier positions per destination
+    dst_mask: jnp.ndarray,  # (N, Md) bool
+    dst_inv: jnp.ndarray,  # (Eo,) int32 flattened (N·Md) slot per position
+) -> AttentionPartials:
+    """Outlier partials as dense per-destination masked reductions.
+
+    Unlike :func:`coo_attention_partials` (segment ops → forward scatters),
+    every op here is a take or a static-width reduce, so forward AND
+    backward are scatter-free — usable inside shard_map with traced,
+    shard-sliced layout arrays (the halo kernel path).
+    """
+    from anemoi_models_tpu.ops.dense_graph import padded_take, table_take
+
+    h, d = query.shape[-2:]
+    scale = 1.0 / np.sqrt(d)
+    k_j = padded_take(key, out_src, t_src.tab, t_src.mask) + e_out  # (Eo, H, D)
+    v_j = padded_take(value, out_src, t_src.tab, t_src.mask) + e_out
+    ke = table_take(k_j, dst_tab, dst_mask, dst_inv)  # (N, Md, H, D)
+    ve = table_take(v_j, dst_tab, dst_mask, dst_inv)
+    logits = jnp.einsum(
+        "nhd,nmhd->nmh", query, ke, preferred_element_type=jnp.float32
+    ) * scale
+    logits = jnp.where(dst_mask[..., None], logits, _NEG)
+    m = jnp.maximum(jnp.max(logits, axis=1), _NEG)  # (N, H)
+    w = jnp.exp(jnp.minimum(logits - m[:, None], 0.0)) * dst_mask[..., None]
+    den = jnp.sum(w, axis=1)
+    num = jnp.einsum("nmh,nmhd->nhd", w, ve.astype(jnp.float32))
     return AttentionPartials(num=num, den=den, m=m)
 
 

@@ -269,7 +269,7 @@ def halo_planned_edge_attention(
     """
     from anemoi_models_tpu.ops.pallas.edge_attention import slot_attention_arrays_kernel
     from anemoi_models_tpu.ops.slot_attention import (
-        coo_attention_partials,
+        dense_outlier_partials,
         finalize_partials,
         merge_partials,
     )
@@ -278,6 +278,8 @@ def halo_planned_edge_attention(
     c = h * d
     nps = part.nodes_per_shard
     interpret = jax.default_backend() != "tpu"
+
+    from anemoi_models_tpu.ops.dense_graph import PaddedTranspose
 
     bc = jnp.asarray(part.boundary_contrib)
     hs = jnp.asarray(part.halo_select)
@@ -288,8 +290,11 @@ def halo_planned_edge_attention(
     src_idx = jnp.asarray(sp.src_slab_idx)
     slot_mask = jnp.asarray(sp.slot_mask)
     o_src = jnp.asarray(sp.out_src)
-    o_dst = jnp.asarray(sp.out_dst)
-    o_mask = jnp.asarray(sp.out_mask)
+    o_inv = jnp.asarray(sp.out_slot_of_pos)
+    ts_tab, ts_mask = (jnp.asarray(a) for a in sp.t_out_src)
+    td_tab, td_mask = (jnp.asarray(a) for a in sp.t_out_dst)
+    tc_tab, tc_mask = (jnp.asarray(a) for a in sp.t_contrib)
+    th_tab, th_mask = (jnp.asarray(a) for a in sp.t_halo)
 
     def flat_pad(t):
         return pad_nodes(t.reshape(b, n, c), part)
@@ -297,11 +302,19 @@ def halo_planned_edge_attention(
     q_pad, k_pad, v_pad = flat_pad(query), flat_pad(key), flat_pad(value)
 
     def local(q_blk, k_blk, v_blk, bc_blk, hs_blk, hm_blk, c2e_blk, e2c_blk,
-              st_blk, si_blk, sm_blk, os_blk, od_blk, om_blk, a_blk, eo_blk, w):
+              st_blk, si_blk, sm_blk, os_blk, oi_blk,
+              ts_t, ts_m, td_t, td_m, tc_t, tc_m, th_t, th_m,
+              a_blk, eo_blk, w):
+        from anemoi_models_tpu.ops.dense_graph import padded_take
+
         def ext_cont(t_blk):
-            contrib = jnp.take(t_blk, bc_blk[0], axis=1)
+            # exchange gathers via padded_take: their adjoints are masked
+            # takes over the inverse tables, keeping the whole path
+            # scatter-free under the mesh
+            contrib = jax.vmap(lambda xb: padded_take(xb, bc_blk[0], tc_t[0], tc_m[0]))(t_blk)
             pool = jax.lax.all_gather(contrib, axis, axis=1, tiled=True)
-            halo = jnp.take(pool, hs_blk[0], axis=1) * hm_blk[0][None, :, None].astype(t_blk.dtype)
+            halo = jax.vmap(lambda pb: padded_take(pb, hs_blk[0], th_t[0], th_m[0]))(pool)
+            halo = halo * hm_blk[0][None, :, None].astype(t_blk.dtype)
             x_ext = jnp.concatenate([t_blk, halo], axis=1)
             pad = sp.ext_rows - x_ext.shape[1]
             if pad:
@@ -316,9 +329,11 @@ def halo_planned_edge_attention(
                 a_blk[0], w, st_blk[0], si_blk[0], sm_blk[0],
                 sp.block_nodes, sp.cap, sp.slab_width, interpret,
             )
-            p2 = coo_attention_partials(
+            p2 = dense_outlier_partials(
                 q1.reshape(nps, h, d), k1.reshape(-1, h, d), v1.reshape(-1, h, d),
-                eo1, os_blk[0], od_blk[0], nps, mask=om_blk[0],
+                eo1, os_blk[0],
+                PaddedTranspose(ts_t[0], ts_m[0]),
+                td_t[0], td_m[0], oi_blk[0],
             )
             return finalize_partials(merge_partials(p, p2), value.dtype).reshape(nps, c)
 
@@ -346,7 +361,14 @@ def halo_planned_edge_attention(
             P(axis, None, None),
             P(axis, None),
             P(axis, None),
-            P(axis, None),
+            P(axis, None, None),
+            P(axis, None, None),
+            P(axis, None, None),
+            P(axis, None, None),
+            P(axis, None, None),
+            P(axis, None, None),
+            P(axis, None, None),
+            P(axis, None, None),
             P(axis, None, None),
             P(axis, None, None, None),
             P(),
@@ -356,7 +378,8 @@ def halo_planned_edge_attention(
         check_vma=False,
     )
     out = run(q_pad, k_pad, v_pad, bc, hs, hm, c2e, e2c, starts, src_idx,
-              slot_mask, o_src, o_dst, o_mask, a_slots_sh, e_out_sh, w_aug)
+              slot_mask, o_src, o_inv, ts_tab, ts_mask, td_tab, td_mask,
+              tc_tab, tc_mask, th_tab, th_mask, a_slots_sh, e_out_sh, w_aug)
     return unpad_nodes(out, part).reshape(b, n, h, d)
 
 

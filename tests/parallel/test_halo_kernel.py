@@ -52,18 +52,9 @@ def _global_ref(es, n, q, k, v, a0, edge_transform):
 
 
 def _halo_inputs(sp, a0, edge_transform):
-    a_slots = jnp.take(a0, jnp.asarray(sp.edge_ids), axis=0)
-    a_slots = jnp.concatenate(
-        [a_slots, jnp.ones_like(a_slots[..., :1])], axis=-1
-    ) * jnp.asarray(sp.slot_mask)
-    e_out = edge_transform(jnp.take(a0, jnp.asarray(sp.out_eid), axis=0))
-    # fold the affine bias into the augmented projection (ones column)
-    w_aug = jnp.concatenate(
-        [edge_transform(jnp.eye(a0.shape[1])) - edge_transform(jnp.zeros(a0.shape[1])),
-         edge_transform(jnp.zeros(a0.shape[1]))[None]],
-        axis=0,
-    )
-    return a_slots, e_out, w_aug
+    from anemoi_models_tpu.ops.slot_attention import halo_planned_edge_inputs
+
+    return halo_planned_edge_inputs(a0, sp, edge_transform)
 
 
 def test_halo_planned_attention_matches_global():
@@ -109,6 +100,35 @@ def test_halo_planned_attention_grads_flow():
             np.asarray(got), np.asarray(want), atol=5e-4, rtol=2e-3, err_msg=name
         )
     assert jnp.isfinite(grads[3]).all() and float(jnp.abs(grads[3]).max()) > 0
+
+
+def test_halo_planned_backward_is_scatter_free():
+    """The full halo-kernel backward — slot kernels, outlier COO partials,
+    the a0 gathers, and the contiguizing permutation — compiles without a
+    single scatter op (padded-transpose / masked-position-take adjoints)."""
+    g, es, n, q, k, v, a0, et = _setup(refinements=2)
+    part = partition_1hop(es.edge_index, n, 8)
+    sp = build_halo_kernel_plans(part, slab_width=256)
+    mesh = make_mesh(data=1, model=8)
+
+    def loss(q, k, v, a0):
+        a_slots, e_out, w_aug = _halo_inputs(sp, a0, et)
+        out = halo_planned_edge_attention(
+            mesh, part, sp, q, k, v, a_slots, e_out, w_aug
+        )
+        return jnp.sum(out**2)
+
+    compiled = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3))).lower(q, k, v, a0).compile()
+    grads = compiled(q, k, v, a0)
+    assert all(jnp.isfinite(gr).all() for gr in grads)
+    # reduce-scatter is the all_gather adjoint collective (wanted); what must
+    # not appear is the serialized HLO scatter op: "%scatter...", scatter-add,
+    # scatter-max etc.
+    bad = [
+        ln for ln in compiled.as_text().splitlines()
+        if "scatter(" in ln and "reduce-scatter" not in ln and "reduce_scatter" not in ln
+    ]
+    assert not bad, f"halo kernel-path backward must be scatter-free: {bad[:3]}"
 
 
 def test_gt_processor_pallas_under_mesh_matches_single_device():

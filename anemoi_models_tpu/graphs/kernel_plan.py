@@ -238,10 +238,10 @@ class ShardedKernelPlan:
     slab_start: np.ndarray  # (S, num_blocks) int32
     src_slab_idx: np.ndarray  # (S, R, 1) int32, R = num_blocks*block_nodes*cap
     slot_mask: np.ndarray  # (S, R, 1) float32
-    edge_ids: np.ndarray  # (S, R) int64 global edge id per slot (num_edges if padded)
+    edge_ids: np.ndarray  # (S, R) int32 global edge id per slot (num_edges if padded)
     out_src: np.ndarray  # (S, Eo) int32 — contiguized source row
     out_dst: np.ndarray  # (S, Eo) int32 — shard-local destination
-    out_eid: np.ndarray  # (S, Eo) int64 global edge ids (num_edges if padded)
+    out_eid: np.ndarray  # (S, Eo) int32 global edge ids (num_edges if padded)
     out_mask: np.ndarray  # (S, Eo) float32
     # scatter-free adjoints for the gathers around the kernel: position of
     # each global edge in the flattened slot / outlier layouts (−1 = absent),
@@ -348,10 +348,10 @@ def build_halo_kernel_plans(
         slab_start=np.stack([p.slab_start for p in plans]),
         src_slab_idx=np.stack([p.src_slab_idx for p in plans]),
         slot_mask=np.stack([p.slot_mask for p in plans]),
-        edge_ids=np.full((s_count, rows), num_edges, dtype=np.int64),
+        edge_ids=np.full((s_count, rows), num_edges, dtype=np.int32),
         out_src=np.zeros((s_count, eo), dtype=np.int32),
         out_dst=np.zeros((s_count, eo), dtype=np.int32),
-        out_eid=np.full((s_count, eo), num_edges, dtype=np.int64),
+        out_eid=np.full((s_count, eo), num_edges, dtype=np.int32),
         out_mask=np.zeros((s_count, eo), dtype=np.float32),
         slot_pos_of_edge=np.full(num_edges, -1, dtype=np.int32),
         out_pos_of_edge=np.full(num_edges, -1, dtype=np.int32),
@@ -471,7 +471,7 @@ def edge_set_kernel_plan(
                     edge_set.edge_index, num_dst, num_src,
                     block_nodes=block_nodes, cap=cap, slab_width=w,
                 )
-                for w in (512, 768, 1024, 1536)
+                for w in (256, 384, 512, 768, 1024, 1536)
             ]
             best = max(p.coverage for p in candidates)
             plan = next(p for p in candidates if p.coverage >= best - 0.01)

@@ -102,7 +102,9 @@ def halo_planned_edge_inputs(a0: jnp.ndarray, sp, edge_transform):
         flat = g.reshape(-1, g.shape[-1])
         return pad_row(_masked_pos_take(flat, sp.slot_pos_of_edge, e, axis=-2))
 
-    a_slots = take_rows(a0p, jnp.asarray(sp.edge_ids), 0, adj_slots)
+    # plan arrays stay host numpy (concrete): converting under an nn.remat
+    # trace stages a tracer that the custom_vjp closure would leak
+    a_slots = take_rows(a0p, sp.edge_ids, 0, adj_slots)
     a_slots = jnp.concatenate(
         [a_slots, jnp.ones_like(a_slots[..., :1])], axis=-1
     ) * jnp.asarray(sp.slot_mask)
@@ -111,7 +113,7 @@ def halo_planned_edge_inputs(a0: jnp.ndarray, sp, edge_transform):
         flat = g.reshape(-1, g.shape[-1])
         return pad_row(_masked_pos_take(flat, sp.out_pos_of_edge, e, axis=-2))
 
-    a_out = take_rows(a0p, jnp.asarray(sp.out_eid), 0, adj_out)
+    a_out = take_rows(a0p, sp.out_eid, 0, adj_out)
     e_out = edge_transform(a_out)  # (S, Eo, H, D)
     h, d = e_out.shape[-2:]
     w_aug = _affine_from_closure(edge_transform, a0.shape[-1], h, d)

@@ -34,7 +34,10 @@ def main() -> None:
     refinements = int(os.environ.get("BENCH_REFINEMENTS", "5"))
     channels = int(os.environ.get("BENCH_CHANNELS", "256"))
     layers = int(os.environ.get("BENCH_LAYERS", "8"))
-    iters = int(os.environ.get("BENCH_ITERS", "2"))
+    # 4 chained iters: the marginal per-forward time converges with chain
+    # length (2-iter chains measured optimistic at some depths — see
+    # PERF.md "chain-length sensitivity")
+    iters = int(os.environ.get("BENCH_ITERS", "4"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     mode = os.environ.get("BENCH_MODE", "forward")  # forward | train
     # true O96 octahedral grid by default (40,320 points, uniform density);

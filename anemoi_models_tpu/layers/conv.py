@@ -62,8 +62,37 @@ class GraphConv(nn.Module):
             dtype=self.dtype,
         )
         if tables is not None:
+            from anemoi_models_tpu.layers.block import HaloTables
             from anemoi_models_tpu.ops.slot_attention import PlannedTables
 
+            if isinstance(tables, HaloTables):
+                # multi-chip default under a >1 model axis: 1-hop halo
+                # exchange (O(boundary) payload instead of GSPMD's full
+                # node gathers, reference block.py:203), running this
+                # module's OWN edge MLP shard-locally as a pure function —
+                # identical param tree to every other graph_impl
+                from anemoi_models_tpu.ops.slot_gnn import apply_mlp_params
+                from anemoi_models_tpu.parallel.api import get_mesh
+                from anemoi_models_tpu.parallel.halo_conv import (
+                    halo_graph_conv,
+                    shard_edge_values,
+                )
+
+                assert x_src is x_dst, "halo GraphConv requires a self-graph"
+                e_width = edge_attr.shape[-1]
+                in_width = 2 * x_dst.shape[-1] + e_width
+                _ = mlp(jnp.zeros((1, in_width), self.dtype))  # materialize params
+                w = mlp.variables["params"]
+                if edge_attr.ndim == 3:  # (B, E, C) global edge order
+                    edge_sh = shard_edge_values(edge_attr, tables.part)
+                else:  # already (S, B, E_pad, C) from a previous layer
+                    edge_sh = edge_attr
+                return halo_graph_conv(
+                    get_mesh(), tables.part, w, x_dst, edge_sh,
+                    apply_fn=lambda p, cat: apply_mlp_params(
+                        p, cat, self.activation, self.dtype
+                    ),
+                )
             if isinstance(tables, PlannedTables):
                 # fused slot path (Pallas kernel on TPU, jnp twin elsewhere):
                 # edge features stay in slot layout between layers; the edge

@@ -58,6 +58,7 @@ def _tables(
     graph_impl: str,
     num_src: Optional[int] = None,
     allow_halo: bool = False,
+    halo_plans: bool = True,
 ):
     """Edge layout for the conv fast paths.
 
@@ -66,9 +67,11 @@ def _tables(
       jnp twin elsewhere); GraphTransformer flavors only
     - "segment": None (plain COO segment ops)
 
-    With ``allow_halo`` (self-graph GraphTransformer processors), an active
-    mesh with a >1 ``model`` axis routes to the halo-partitioned conv by
-    default — O(boundary) exchange instead of GSPMD's full k/v gathers.
+    With ``allow_halo`` (self-graph processors), an active mesh with a >1
+    ``model`` axis routes to the halo-partitioned conv by default —
+    O(boundary) exchange instead of GSPMD's full k/v gathers.
+    ``halo_plans=False`` (GNN flavor) skips building the per-shard attention
+    kernel plans; the halo GraphConv uses the partition only.
     """
     if allow_halo and graph_impl in ("dense", "pallas", "halo"):
         from anemoi_models_tpu.parallel.api import get_mesh
@@ -84,7 +87,7 @@ def _tables(
             if key not in cache:
                 cache[key] = partition_1hop(sub_graph.edge_index, num_dst, shards)
             plans = None
-            if graph_impl == "pallas":
+            if graph_impl == "pallas" and halo_plans:
                 import os
 
                 from anemoi_models_tpu.graphs.kernel_plan import build_halo_kernel_plans
@@ -215,7 +218,10 @@ class GNNProcessor(nn.Module):
             tensor_size=edge_attr_np.shape[0], trainable_size=self.trainable_size, name="trainable"
         )(jnp.asarray(edge_attr_np, dtype=self.dtype), batch_size)
         edge_index = jnp.asarray(edge_index_np)
-        tables = _tables(self.sub_graph, x.shape[-2], self.graph_impl)
+        tables = _tables(
+            self.sub_graph, x.shape[-2], self.graph_impl,
+            allow_halo=True, halo_plans=False,
+        )
 
         Chunk = _remat(GNNProcessorChunk, self.remat_policy, self.cpu_offload)
         for c in range(self.num_chunks):

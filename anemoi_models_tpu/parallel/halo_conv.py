@@ -69,6 +69,7 @@ def halo_graph_conv(
     edge_attr_sharded: jnp.ndarray,
     activation: str = "SiLU",
     axis: str = "model",
+    apply_fn: Optional[Callable] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One GraphConv aggregation under halo exchange.
 
@@ -81,7 +82,13 @@ def halo_graph_conv(
     shard-local edge features (num_shards, batch, E_pad, C) to thread into
     the next layer — matching GraphConv's ``edges_new`` threading (reference
     ``layers/block.py:205-221``) without ever gathering edges globally.
+
+    ``apply_fn(params, cat) -> msg`` overrides the edge-MLP body (default
+    :func:`apply_edge_mlp`); pass ``ops/slot_gnn.apply_mlp_params`` bound to
+    a flax ``MLP`` param tree to run a standard ``GraphConv``'s own MLP
+    shard-locally (identical param layout to the single-device path).
     """
+    apply_fn = apply_fn or (lambda p, cat: apply_edge_mlp(p, cat, activation))
     bc = jnp.asarray(part.boundary_contrib)
     hs = jnp.asarray(part.halo_select)
     hm = jnp.asarray(part.halo_mask)
@@ -103,7 +110,7 @@ def halo_graph_conv(
             e = e_blk[0]  # (B, E_pad, C)
         else:
             e = jnp.broadcast_to(e_blk[0][None], x_i.shape)
-        msg = apply_edge_mlp(p, jnp.concatenate([x_i, x_j, e], axis=-1), activation) + e
+        msg = apply_fn(p, jnp.concatenate([x_i, x_j, e], axis=-1)) + e
         msg = msg * em_blk[0][None, :, None].astype(msg.dtype)
         agg = segment_sum(msg, edges[:, 1], part.nodes_per_shard, indices_are_sorted=False)
         return agg, msg[None]  # msg stays shard-local as next layer's edges

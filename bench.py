@@ -25,53 +25,9 @@ import numpy as np
 TARGET_GRID_POINTS_PER_S = 1.0e6
 
 
-def main() -> None:
+def _measure_model(model, x, n_out, mode: str, iters: int, batch: int) -> float:
+    """K-chain subtraction timing for one built model; returns grid-points/s."""
     import jax
-
-    from __graft_entry__ import _build
-
-    grid_lat = int(os.environ.get("BENCH_GRID_LAT", "96"))
-    refinements = int(os.environ.get("BENCH_REFINEMENTS", "5"))
-    channels = int(os.environ.get("BENCH_CHANNELS", "256"))
-    layers = int(os.environ.get("BENCH_LAYERS", "8"))
-    # 4 chained iters: the marginal per-forward time converges with chain
-    # length (2-iter chains measured optimistic at some depths — see
-    # PERF.md "chain-length sensitivity")
-    iters = int(os.environ.get("BENCH_ITERS", "4"))
-    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    mode = os.environ.get("BENCH_MODE", "forward")  # forward | train
-    # true O96 octahedral grid by default (40,320 points, uniform density);
-    # BENCH_GRID=latlon selects the smaller equal-angle workload
-    grid = os.environ.get("BENCH_GRID", "octahedral")
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
-    remat = os.environ.get("BENCH_REMAT", "full")  # full | save_dots | none
-    flavor = os.environ.get("BENCH_FLAVOR", "graphtransformer")  # | gnn | transformer
-    # flagship default: the fused Pallas edge-attention kernel (measured
-    # 1.61M vs 1.31M pts/s on the dense path); BENCH_GRAPH_IMPL overrides,
-    # and a compile failure falls back to dense (see main()'s retry)
-    graph_impl = os.environ.get("BENCH_GRAPH_IMPL") or None  # dense | pallas | segment
-    if graph_impl is None and flavor == "graphtransformer" and mode == "forward":
-        graph_impl = "pallas"
-    # mesh order + decoder kernel measured SLOWER at O96 (799k vs 1,615k):
-    # 315 small sequential decoder blocks do not amortize; opt-in only
-    data_order = os.environ.get("BENCH_DATA_ORDER", "rows")
-    attention_impl = os.environ.get("BENCH_ATTN_IMPL") or None  # pallas | chunked | reference
-
-    model, x, n_out = _build(
-        grid_lat=grid_lat,
-        mesh_refinements=refinements,
-        num_channels=channels,
-        num_layers=layers,
-        dtype=dtype,
-        grid=grid,
-        remat_policy=remat,
-        flavor=flavor,
-        batch_size=batch,
-        graph_impl=graph_impl,
-        attention_impl=attention_impl,
-        data_order=data_order,
-    )
-    n_grid = x.shape[3]
 
     params = jax.jit(model.init)(jax.random.key(0), x)
 
@@ -128,8 +84,69 @@ def main() -> None:
     t1 = timed(1)
     tk = timed(1 + iters)
     dt = max(tk - t1, 1e-9)
+    return batch * x.shape[3] * iters / dt
 
-    gps = batch * n_grid * iters / dt
+
+def main() -> None:
+    import jax
+
+    from __graft_entry__ import _build
+
+    grid_lat = int(os.environ.get("BENCH_GRID_LAT", "96"))
+    refinements = int(os.environ.get("BENCH_REFINEMENTS", "5"))
+    channels = int(os.environ.get("BENCH_CHANNELS", "256"))
+    layers = int(os.environ.get("BENCH_LAYERS", "8"))
+    # 4 chained iters: the marginal per-forward time converges with chain
+    # length (2-iter chains measured optimistic at some depths — see
+    # PERF.md "chain-length sensitivity")
+    iters = int(os.environ.get("BENCH_ITERS", "4"))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    mode = os.environ.get("BENCH_MODE", "forward")  # forward | train
+    # true O96 octahedral grid by default (40,320 points, uniform density);
+    # BENCH_GRID=latlon selects the smaller equal-angle workload
+    grid = os.environ.get("BENCH_GRID", "octahedral")
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    remat = os.environ.get("BENCH_REMAT", "full")  # full | save_dots | none
+    flavor = os.environ.get("BENCH_FLAVOR", "graphtransformer")  # | gnn | transformer
+    # flagship default: auto-tune between the fused Pallas edge-attention
+    # kernel and the bucketed dense path — the tunneled runtime's delivered
+    # performance drifts by ±20% across sessions (PERF.md "runtime
+    # variance"), and either path can win on a given day. The metric line
+    # names the winner. BENCH_GRAPH_IMPL pins one path; a kernel compile
+    # failure falls back to dense (see main()'s retry).
+    graph_impl = os.environ.get("BENCH_GRAPH_IMPL") or None  # dense | pallas | segment
+    autotune = graph_impl is None and flavor == "graphtransformer" and mode == "forward"
+    if autotune:
+        graph_impl = "pallas"
+    # mesh order + decoder kernel measured SLOWER at O96 (799k vs 1,615k):
+    # 315 small sequential decoder blocks do not amortize; opt-in only
+    data_order = os.environ.get("BENCH_DATA_ORDER", "rows")
+    attention_impl = os.environ.get("BENCH_ATTN_IMPL") or None  # pallas | chunked | reference
+
+    def measure(impl):
+        model, x, n_out = _build(
+            grid_lat=grid_lat,
+            mesh_refinements=refinements,
+            num_channels=channels,
+            num_layers=layers,
+            dtype=dtype,
+            grid=grid,
+            remat_policy=remat,
+            flavor=flavor,
+            batch_size=batch,
+            graph_impl=impl,
+            attention_impl=attention_impl,
+            data_order=data_order,
+        )
+        return _measure_model(model, x, n_out, mode, iters, batch), x.shape[3]
+
+    gps, n_grid = measure(graph_impl)
+    if autotune:
+        print(f"bench: pallas path {gps:.0f} pts/s; measuring dense...", file=sys.stderr, flush=True)
+        gps_dense, _ = measure("dense")
+        if gps_dense > gps:
+            gps, graph_impl = gps_dense, "dense"
+
     print(
         json.dumps(
             {

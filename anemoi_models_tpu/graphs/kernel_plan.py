@@ -324,7 +324,8 @@ def build_halo_kernel_plans(
     if slab_width:
         plans = shard_plans(slab_width)
     else:
-        candidates = {w: shard_plans(w) for w in (512, 768, 1024, 1536)}
+        # per-shard subgraphs are small: narrow slabs matter most here
+        candidates = {w: shard_plans(w) for w in (256, 384, 512, 768, 1024, 1536)}
         mean_cov = {w: float(np.mean([p.coverage for p in ps])) for w, ps in candidates.items()}
         best = max(mean_cov.values())
         width = next(w for w in candidates if mean_cov[w] >= best - 0.01)

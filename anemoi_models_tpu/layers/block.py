@@ -250,9 +250,6 @@ class _GraphTransformerBase(nn.Module):
 
             mesh = get_mesh()
             a0 = edges[0]  # raw edge attrs, batch-invariant
-            w_aug = _affine_from_closure(
-                edge_transform, a0.shape[-1], self.num_heads, self.out_channels_conv
-            )
             if tables.plans is not None:
                 from anemoi_models_tpu.ops.slot_attention import halo_planned_edge_inputs
 
@@ -264,6 +261,9 @@ class _GraphTransformerBase(nn.Module):
                 )
             a_sh = shard_edge_values(a0, tables.part)  # (S, E_pad, A)
             a_sh = jnp.concatenate([a_sh, jnp.ones_like(a_sh[..., :1])], axis=-1)
+            w_aug = _affine_from_closure(
+                edge_transform, a0.shape[-1], self.num_heads, self.out_channels_conv
+            )
             return halo_graph_transformer_conv(
                 mesh, tables.part, query, key, value, a_sh, w_aug.astype(a_sh.dtype)
             )

@@ -183,9 +183,12 @@ def coo_attention_partials(
     num_dst: int,
     t_src=None,  # transpose tables -> gather-only backward for key/value
     t_dst=None,  # same for query
-    mask=None,  # (E,) optional validity — padded edges contribute exactly 0
 ) -> AttentionPartials:
-    """Plain COO segment-op partials for edges outside the kernel plan."""
+    """Plain COO segment-op partials for edges outside the kernel plan.
+
+    (The sharded halo path uses :func:`dense_outlier_partials` instead —
+    its forward avoids the segment ops' HLO scatters.)
+    """
     h, d = query.shape[-2:]
     scale = 1.0 / np.sqrt(d)
 
@@ -199,29 +202,15 @@ def coo_attention_partials(
 
         return adj
 
-    from anemoi_models_tpu.ops.dense_graph import PaddedTranspose, padded_take, take_rows
+    from anemoi_models_tpu.ops.dense_graph import take_rows
 
-    def gather(x, ids, t_tab):
-        # PaddedTranspose layouts may be traced (shard-sliced inside
-        # shard_map): padded_take keeps them as primal vjp args — a
-        # closure-captured adjoint would leak tracers across the backward
-        if isinstance(t_tab, PaddedTranspose):
-            return padded_take(x, ids, t_tab.tab, t_tab.mask)
-        return take_rows(x, ids, 0, make_adj(t_tab, x.shape[0]))
-
-    q_i = gather(query, dst, t_dst)
-    k_j = gather(key, src, t_src) + e_proj
-    v_j = gather(value, src, t_src) + e_proj
+    q_i = take_rows(query, dst, 0, make_adj(t_dst, query.shape[0]))
+    k_j = take_rows(key, src, 0, make_adj(t_src, key.shape[0])) + e_proj
+    v_j = take_rows(value, src, 0, make_adj(t_src, value.shape[0])) + e_proj
     logits = jnp.einsum("ehd,ehd->eh", q_i, k_j, preferred_element_type=jnp.float32) * scale
-    if mask is not None:
-        logits = jnp.where(mask[:, None] > 0, logits, _NEG)
     m = segment_max(logits, dst, num_dst)  # (N, H); -inf where no edges
     m = jnp.maximum(m, _NEG)
     w = jnp.exp(logits - jnp.take(m, dst, axis=0))
-    if mask is not None:
-        # exp alone is not enough: a destination with only padded edges has
-        # m == floor, making exp(0) = 1 — zero the weights outright
-        w = w * mask[:, None]
     den = segment_sum(w, dst, num_dst)
     contrib = (w[..., None] * v_j.astype(jnp.float32)).reshape(len(src), h * d)
     num = segment_sum(contrib, dst, num_dst).reshape(num_dst, h, d)

@@ -131,6 +131,47 @@ def test_halo_planned_backward_is_scatter_free():
     assert not bad, f"halo kernel-path backward must be scatter-free: {bad[:3]}"
 
 
+def test_hierarchical_pallas_under_mesh_matches_single_device():
+    """Hierarchical model with graph_impl='pallas': every per-level processor
+    gets its own per-shard halo kernel plans under the mesh and the forward
+    matches single-device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from helpers_models import VARS, make_config
+    from anemoi_models_tpu.data_indices import IndexCollection
+    from anemoi_models_tpu.graphs import build_hierarchical_graph
+    from anemoi_models_tpu.models import AnemoiModelEncProcDecHierarchical
+    from anemoi_models_tpu.parallel import use_mesh
+
+    graph, hidden_names = build_hierarchical_graph(
+        grid_lat=8, mesh_refinements=3, num_levels=2
+    )
+    cfg = make_config("graphtransformer", num_channels=16)
+    cfg.graph.hidden = list(hidden_names)
+    cfg.model.model._target_ = (
+        "anemoi.models.models.hierarchical.AnemoiModelEncProcDecHierarchical"
+    )
+    cfg.model.enable_hierarchical_level_processing = True
+    cfg.model.level_process_num_layers = 2
+    cfg.model.processor.graph_impl = "pallas"
+    di = IndexCollection(cfg, dict(VARS))
+    model = AnemoiModelEncProcDecHierarchical(
+        model_config=cfg, data_indices=di, graph_data=graph
+    )
+    n_grid = graph["data"].num_nodes
+    n_in = len(di.internal_model.input)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 2, 1, n_grid, n_in), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0), x)
+    ref = jax.jit(model.apply)(params, x)
+
+    mesh = make_mesh(data=1, model=8)
+    with use_mesh(mesh):
+        xs = jax.device_put(x, NamedSharding(mesh, P()))
+        ps = jax.device_put(params, NamedSharding(mesh, P()))
+        out = jax.jit(model.apply)(ps, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4, rtol=1e-3)
+
+
 def test_train_step_through_halo_kernel_matches_single_device():
     """Full model train step (fwd+bwd+adam) with graph_impl='pallas' under a
     model-axis mesh: one step's loss and updated params match the same step

@@ -105,7 +105,10 @@ def _tables(
         from anemoi_models_tpu.ops.slot_attention import PlannedTables
 
         nb = int(os.environ.get("ANEMOI_PLAN_BLOCK_NODES", "128"))
-        plan = edge_set_kernel_plan(sub_graph, num_dst, num_src or num_dst, block_nodes=nb)
+        sw = int(os.environ.get("ANEMOI_PLAN_SLAB_WIDTH", "0"))  # 0 = auto
+        plan = edge_set_kernel_plan(
+            sub_graph, num_dst, num_src or num_dst, block_nodes=nb, slab_width=sw
+        )
         return PlannedTables(plan=plan, impl="auto")
     if graph_impl != "dense":
         return None

@@ -232,6 +232,35 @@ def test_flavor_forward_matches_torch_oracle(flavor):
     assert mean_err < 3e-4 * max(scale, 1.0), f"{flavor} mean deviation too large: {mean_err}"
 
 
+def test_gnn_rollout_rmse_drift_vs_oracle():
+    """Autoregressive rollout drift of the fp32 GNN model vs its fp64 oracle
+    (the flavor-parity analogue of the GraphTransformer rollout harness)."""
+    graph, cfg, di, model, x, params = _build("gnn")
+    n_steps = 3
+    prog_in = np.asarray(di.internal_model.input.prognostic)
+    prog_out = np.asarray(di.internal_model.output.prognostic)
+    force_in = np.asarray(di.internal_model.input.forcing)
+
+    from anemoi_models_tpu.training import make_rollout_fn
+
+    rollout = jax.jit(make_rollout_fn(model, di, n_steps))
+    forc = np.zeros((n_steps, 1, 1, x.shape[3], len(force_in)), np.float32)
+    _, preds = rollout(params, jnp.asarray(x), jnp.asarray(forc))
+    preds = np.asarray(preds)
+
+    xo = x.copy()
+    rmses = []
+    for s in range(n_steps):
+        yo = oracle_forward(params, cfg, di, graph, xo, "gnn").numpy()
+        denom = np.sqrt(np.mean(yo**2)) + 1e-12
+        rmses.append(np.sqrt(np.mean((preds[s, 0, 0] - yo) ** 2)) / denom)
+        nxt = np.zeros((1, 1, 1, x.shape[3], x.shape[4]), np.float32)
+        nxt[0, 0, 0][:, prog_in] = yo[:, prog_out]
+        xo = np.concatenate([xo[:, 1:], nxt.reshape(1, 1, 1, x.shape[3], x.shape[4])], axis=1)
+    assert rmses[0] < 1e-4, rmses
+    assert rmses[-1] < 5e-3, rmses
+
+
 def test_boundings_match_torch_oracle():
     graph, cfg, di, model, x, params = _build("graphtransformer", bounding=BOUNDINGS)
     ours = np.asarray(model.apply(params, jnp.asarray(x)))[0, 0]

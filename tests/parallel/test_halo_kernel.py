@@ -131,6 +131,38 @@ def test_halo_planned_backward_is_scatter_free():
     assert not bad, f"halo kernel-path backward must be scatter-free: {bad[:3]}"
 
 
+def test_interface_predict_under_mesh_matches_single_device():
+    """The serve surface (pre -> forward -> post via make_predict_fn) under
+    a model-axis mesh with the halo kernel path equals the single-device
+    prediction — serving at scale, not just raw model.apply."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from helpers_models import VARS, make_config, make_statistics
+    from anemoi_models_tpu.data_indices import IndexCollection
+    from anemoi_models_tpu.interface import AnemoiModelInterface
+    from anemoi_models_tpu.parallel import use_mesh
+
+    graph = build_enc_proc_dec_graph(grid_lat=6, mesh_refinements=2)
+    cfg = make_config("graphtransformer")
+    cfg.model.processor.graph_impl = "pallas"
+    di = IndexCollection(cfg, dict(VARS))
+    iface = AnemoiModelInterface(
+        config=cfg, graph_data=graph, statistics=make_statistics(),
+        data_indices=di, metadata={},
+    )
+    n_grid = graph["data"].num_nodes
+    iface.init_params(jax.random.key(0))
+    batch = jnp.asarray(np.random.RandomState(1).rand(1, 2, n_grid, 4), jnp.float32)
+    ref = iface.predict_step(batch)
+
+    mesh = make_mesh(data=1, model=8)
+    with use_mesh(mesh):
+        rep = NamedSharding(mesh, P())
+        fn = jax.jit(iface.make_predict_fn())
+        out = fn(jax.device_put(iface.params, rep), jax.device_put(batch, rep))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4, rtol=1e-3)
+
+
 def test_hierarchical_pallas_under_mesh_matches_single_device():
     """Hierarchical model with graph_impl='pallas': every per-level processor
     gets its own per-shard halo kernel plans under the mesh and the forward

@@ -114,43 +114,65 @@ def build_edge_kernel_plan(
     padded_dst = num_blocks * block_nodes
     rows = padded_dst * cap
 
-    slab_start = np.zeros(num_blocks, dtype=np.int32)
-    src_slab_idx = np.zeros((rows, 1), dtype=np.int32)
-    slot_mask = np.zeros((rows, 1), dtype=np.float32)
-    edge_ids = np.zeros(rows, dtype=np.int32)
-    out_src: list[np.ndarray] = []
-    out_dst: list[np.ndarray] = []
-    out_eid: list[np.ndarray] = []
-
     starts = np.searchsorted(dst, np.arange(0, padded_dst + block_nodes, block_nodes))
     all_eids = np.arange(len(src), dtype=np.int64)
-    for b in range(num_blocks):
-        e0, e1 = starts[b], starts[b + 1]
-        bsrc, bdst, beid = src[e0:e1], dst[e0:e1], all_eids[e0:e1]
-        start = _best_window(np.sort(bsrc), num_src, slab_width)
-        slab_start[b] = start
-        inside = (bsrc >= start) & (bsrc < start + slab_width)
 
-        # slot position of each in-window edge within its destination
-        bsel = np.nonzero(inside)[0]
-        dsel = bdst[bsel]
-        # stable order keeps CSR edge order within each destination
-        pos = np.zeros(len(bsel), dtype=np.int64)
-        uniq, first_idx, counts = np.unique(dsel, return_index=True, return_counts=True)
-        for u_i, (d0, c) in enumerate(zip(first_idx, counts)):
-            pos[d0 : d0 + c] = np.arange(c)
-        fits = pos < cap
-        take = bsel[fits]
-        r = dsel[fits] * cap + pos[fits]
-        src_slab_idx[r, 0] = (bsrc[take] - start).astype(np.int32)
-        slot_mask[r, 0] = 1.0
-        edge_ids[r] = beid[take].astype(np.int32)
+    from anemoi_models_tpu import native
 
-        spill = np.concatenate([bsel[~fits], np.nonzero(~inside)[0]])
-        if spill.size:
-            out_src.append(bsrc[spill])
-            out_dst.append(bdst[spill])
-            out_eid.append(beid[spill])
+    got = native.kernel_plan_slots(
+        src, dst, num_dst, num_src, block_nodes, cap, slab_width
+    )
+    if got is not None:
+        # C++ core: slot assignment is bit-exact; the spill codes reproduce
+        # the numpy per-block order (overflow first, then out-of-window)
+        slab_start, src_slab_idx, slot_mask, edge_ids, code = got
+        src_slab_idx = src_slab_idx[:, None]
+        slot_mask = slot_mask[:, None]
+        out_src, out_dst, out_eid = [], [], []
+        for b in range(num_blocks):
+            e0, e1 = starts[b], starts[b + 1]
+            c = code[e0:e1]
+            spill = np.concatenate([np.nonzero(c == 2)[0], np.nonzero(c == 1)[0]]) + e0
+            if spill.size:
+                out_src.append(src[spill])
+                out_dst.append(dst[spill])
+                out_eid.append(all_eids[spill])
+    else:
+        slab_start = np.zeros(num_blocks, dtype=np.int32)
+        src_slab_idx = np.zeros((rows, 1), dtype=np.int32)
+        slot_mask = np.zeros((rows, 1), dtype=np.float32)
+        edge_ids = np.zeros(rows, dtype=np.int32)
+        out_src = []
+        out_dst = []
+        out_eid = []
+
+        for b in range(num_blocks):
+            e0, e1 = starts[b], starts[b + 1]
+            bsrc, bdst, beid = src[e0:e1], dst[e0:e1], all_eids[e0:e1]
+            start = _best_window(np.sort(bsrc), num_src, slab_width)
+            slab_start[b] = start
+            inside = (bsrc >= start) & (bsrc < start + slab_width)
+
+            # slot position of each in-window edge within its destination
+            bsel = np.nonzero(inside)[0]
+            dsel = bdst[bsel]
+            # stable order keeps CSR edge order within each destination
+            pos = np.zeros(len(bsel), dtype=np.int64)
+            uniq, first_idx, counts = np.unique(dsel, return_index=True, return_counts=True)
+            for u_i, (d0, c) in enumerate(zip(first_idx, counts)):
+                pos[d0 : d0 + c] = np.arange(c)
+            fits = pos < cap
+            take = bsel[fits]
+            r = dsel[fits] * cap + pos[fits]
+            src_slab_idx[r, 0] = (bsrc[take] - start).astype(np.int32)
+            slot_mask[r, 0] = 1.0
+            edge_ids[r] = beid[take].astype(np.int32)
+
+            spill = np.concatenate([bsel[~fits], np.nonzero(~inside)[0]])
+            if spill.size:
+                out_src.append(bsrc[spill])
+                out_dst.append(bdst[spill])
+                out_eid.append(beid[spill])
 
     cat = lambda xs: (  # noqa: E731
         np.concatenate(xs).astype(np.int32) if xs else np.zeros(0, dtype=np.int32)

@@ -80,3 +80,32 @@ def test_make_optimizer_and_ema(small_graph):
     p_live = jax.tree_util.tree_leaves(state.params)[0]
     p_ema = jax.tree_util.tree_leaves(ema)[0]
     assert not np.allclose(np.asarray(p_live), np.asarray(p_ema))
+
+
+def test_synthetic_weather_batches_and_statistics():
+    """The synthetic data source: shapes, advection structure, statistics."""
+    from anemoi_models_tpu.training.data import SyntheticWeather
+
+    rng = np.random.RandomState(7)
+    coords = np.stack([
+        (rng.rand(64) - 0.5) * np.pi, rng.rand(64) * 2 * np.pi
+    ], axis=1)
+    src = SyntheticWeather(coords, num_vars=5, seed=7)
+
+    b = src.batch(batch_size=2, window=3)
+    assert b.shape == (2, 3, 64, 5)
+    assert np.isfinite(b).all()
+
+    # the noiseless field advects: consecutive states differ smoothly
+    f0, f1 = src.field(0.0), src.field(1.0)
+    assert not np.array_equal(f0, f1)
+    assert np.abs(f1 - f0).max() < np.abs(f0).max() + 1.0
+
+    it = src.batches(batch_size=1, window=2)
+    first, second = next(it), next(it)
+    assert first.shape == second.shape == (1, 2, 64, 5)
+
+    stats = src.statistics(samples=8)
+    for key in ("mean", "stdev", "minimum", "maximum"):
+        assert key in stats and np.isfinite(stats[key]).all()
+    assert (stats["stdev"] > 0).all()

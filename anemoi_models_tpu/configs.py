@@ -64,6 +64,10 @@ def enc_proc_dec(
     tables; pass "pallas" for the fused kernel path).
     """
     assert flavor in FLAVORS, f"flavor must be one of {FLAVORS}, got {flavor!r}"
+    assert not isinstance(forcing, str) and not isinstance(diagnostic, str), (
+        "forcing/diagnostic take sequences of variable names, not a bare "
+        "string (a string would split into characters)"
+    )
     mapper_flavor = "gnn" if flavor == "gnn" else "graphtransformer"
     mapper_extra = (
         {"num_heads": num_heads, "mlp_hidden_ratio": mlp_hidden_ratio}

@@ -23,40 +23,47 @@ _TRIED = False
 
 
 def _build_and_load() -> Optional[ctypes.CDLL]:
+    import hashlib
+
     src = os.path.join(os.path.dirname(os.path.abspath(__file__)), "graph_native.cpp")
     cache_dir = os.environ.get(
         "ANEMOI_TPU_NATIVE_CACHE", os.path.join(tempfile.gettempdir(), "anemoi_tpu_native")
     )
     os.makedirs(cache_dir, exist_ok=True)
-    so_path = os.path.join(cache_dir, "graph_native.so")
-    if not os.path.exists(so_path) or os.path.getmtime(so_path) < os.path.getmtime(src):
-        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", src, "-o", so_path]
-        try:
+    # content-keyed cache: mtime comparisons mislead when clones/worktrees
+    # at different commits share the cache (a stale .so would load but lack
+    # newer symbols)
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    so_path = os.path.join(cache_dir, f"graph_native_{digest}.so")
+    try:
+        if not os.path.exists(so_path):
+            cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", src, "-o", so_path]
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        except Exception as exc:  # compiler missing/failed: fall back to numpy
-            LOGGER.warning("native graph kernels unavailable (%s); using numpy fallbacks", exc)
-            return None
-    lib = ctypes.CDLL(so_path)
-    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
-    lib.sort_edges_csr.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i64p, i64p]
-    lib.sort_edges_csr.restype = None
-    lib.dense_tables.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i32p, i32p, u8p]
-    lib.dense_tables.restype = None
-    lib.max_in_degree.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32]
-    lib.max_in_degree.restype = ctypes.c_int32
-    lib.subdivide.argtypes = [f64p, ctypes.c_int64, i64p, ctypes.c_int64, f64p, i64p]
-    lib.subdivide.restype = ctypes.c_int64
-    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-    lib.kernel_plan_slots.argtypes = [
-        i64p, i64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        i32p, i32p, f32p, i32p, u8p,
-    ]
-    lib.kernel_plan_slots.restype = None
-    return lib
+        lib = ctypes.CDLL(so_path)
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.sort_edges_csr.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i64p, i64p]
+        lib.sort_edges_csr.restype = None
+        lib.dense_tables.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i32p, i32p, u8p]
+        lib.dense_tables.restype = None
+        lib.max_in_degree.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32]
+        lib.max_in_degree.restype = ctypes.c_int32
+        lib.subdivide.argtypes = [f64p, ctypes.c_int64, i64p, ctypes.c_int64, f64p, i64p]
+        lib.subdivide.restype = ctypes.c_int64
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.kernel_plan_slots.argtypes = [
+            i64p, i64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, f32p, i32p, u8p,
+        ]
+        lib.kernel_plan_slots.restype = None
+        return lib
+    except Exception as exc:  # compiler/loader/symbol failure: numpy fallback
+        LOGGER.warning("native graph kernels unavailable (%s); using numpy fallbacks", exc)
+        return None
 
 
 def _lib() -> Optional[ctypes.CDLL]:

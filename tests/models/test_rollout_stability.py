@@ -12,9 +12,11 @@ from anemoi_models_tpu.training import make_rollout_fn
 from helpers_models import VARS, make_config
 
 
-def build(small_graph, dtype):
+def build(small_graph, dtype, graph_impl=None):
     cfg = make_config("graphtransformer", num_channels=16)
     cfg.model.compute_dtype = dtype
+    if graph_impl:
+        cfg.model.processor.graph_impl = graph_impl
     di = IndexCollection(cfg, dict(VARS))
     model = AnemoiModelEncProcDec(
         model_config=cfg,
@@ -25,9 +27,13 @@ def build(small_graph, dtype):
     return di, model
 
 
-def test_bf16_rollout_tracks_fp32(small_graph):
+import pytest
+
+
+@pytest.mark.parametrize("graph_impl", [None, "pallas"])
+def test_bf16_rollout_tracks_fp32(small_graph, graph_impl):
     di32, m32 = build(small_graph, "float32")
-    _, m16 = build(small_graph, "bfloat16")
+    _, m16 = build(small_graph, "bfloat16", graph_impl=graph_impl)
     n_grid = small_graph["data"].num_nodes
     x = jnp.asarray(np.random.RandomState(0).randn(1, 2, 1, n_grid, 4) * 0.5, jnp.float32)
     params = m32.init(jax.random.key(0), x)

@@ -26,8 +26,10 @@ import numpy as np
 
 __all__ = [
     "EdgeKernelPlan",
+    "HaloGNNTables",
     "ShardedKernelPlan",
     "build_edge_kernel_plan",
+    "build_halo_gnn_tables",
     "build_halo_kernel_plans",
     "edge_set_kernel_plan",
 ]
@@ -441,6 +443,87 @@ def build_halo_kernel_plans(
     sp.t_contrib = stack_padded(tc_tab, tc_mask)
     sp.t_halo = stack_padded(th_tab, th_mask)
     return sp
+
+
+@dataclass(eq=False)
+class HaloGNNTables:
+    """Per-shard dense gather layouts for the halo GraphConv: every take and
+    the sum-aggregation run over static-width padded tables, so the whole
+    sharded GNN conv — like the GraphTransformer path — compiles without
+    HLO scatters, forward and backward. Arrays lead with the shard axis."""
+
+    dst_tab: np.ndarray  # (S, nps, Mg) int32 — edge positions per destination
+    dst_mask: np.ndarray  # (S, nps, Mg) bool
+    dst_inv: np.ndarray  # (S, E_pad) int32 — flat (nps·Mg) slot per position
+    src_tab: np.ndarray  # (S, ext, Ms) int32 — edge positions per ext source
+    src_mask: np.ndarray  # (S, ext, Ms) bool
+    # inverses of the halo-exchange gathers and the edge-threading gather
+    t_contrib: tuple = None  # ((S, nps, 1), mask)
+    t_halo: tuple = None  # ((S, S*B_pad, 1), mask)
+    edge_pos: np.ndarray = None  # (E,) int32 flat (S·E_pad) slot per global edge
+
+
+def build_halo_gnn_tables(part) -> HaloGNNTables:
+    """Dense per-shard gather layouts from a :class:`HaloPartition`."""
+    s_count, nps = part.num_shards, part.nodes_per_shard
+    ext = nps + part.halo_select.shape[1]
+    dt, dm, st, sm_ = [], [], [], []
+    for s in range(s_count):
+        live = part.edge_mask[s]
+        dst_ids = np.where(live, part.local_edges[s][:, 1], -1)
+        tab, msk = _padded_transpose(dst_ids, nps)
+        dt.append(tab)
+        dm.append(msk)
+        src_ids = np.where(live, part.local_edges[s][:, 0], -1)
+        tab, msk = _padded_transpose(src_ids, ext)
+        st.append(tab)
+        sm_.append(msk)
+
+    def stack(tabs, masks):
+        m = max(t.shape[1] for t in tabs)
+        tab = np.stack([np.pad(t, ((0, 0), (0, m - t.shape[1])), constant_values=-1) for t in tabs])
+        return tab.astype(np.int32), np.stack(
+            [np.pad(k, ((0, 0), (0, m - k.shape[1]))) for k in masks]
+        )
+
+    dst_tab, dst_mask = stack(dt, dm)
+    src_tab, src_mask = stack(st, sm_)
+    mg = dst_tab.shape[2]
+    e_pad = part.local_edges.shape[1]
+    dst_inv = np.full((s_count, e_pad), -1, dtype=np.int32)
+    for s in range(s_count):
+        rr, jj = np.nonzero(dst_mask[s])
+        dst_inv[s][dst_tab[s][rr, jj]] = (rr * mg + jj).astype(np.int32)
+
+    b_pad = part.boundary_contrib.shape[1]
+    pool_rows = s_count * b_pad
+    pool_live = np.zeros(pool_rows, dtype=bool)
+    pool_live[part.halo_select[part.halo_mask]] = True
+    tc_tab, tc_mask, th_tab, th_mask = [], [], [], []
+    for s in range(s_count):
+        live = pool_live[s * b_pad + np.arange(b_pad)]
+        tab, msk = _padded_transpose(np.where(live, part.boundary_contrib[s], -1), nps)
+        tc_tab.append(tab)
+        tc_mask.append(msk)
+        tab, msk = _padded_transpose(
+            np.where(part.halo_mask[s], part.halo_select[s], -1), pool_rows
+        )
+        th_tab.append(tab)
+        th_mask.append(msk)
+
+    num_edges = int(part.edge_mask.sum())
+    edge_pos = np.full(num_edges, -1, dtype=np.int32)
+    for s in range(s_count):
+        pos = np.nonzero(part.edge_mask[s])[0]
+        edge_pos[part.edge_ids[s][pos]] = (s * e_pad + pos).astype(np.int32)
+
+    return HaloGNNTables(
+        dst_tab=dst_tab, dst_mask=dst_mask, dst_inv=dst_inv,
+        src_tab=src_tab, src_mask=src_mask,
+        t_contrib=stack(tc_tab, tc_mask),
+        t_halo=stack(th_tab, th_mask),
+        edge_pos=edge_pos,
+    )
 
 
 def _padded_transpose(ids: np.ndarray, rows: int) -> tuple[np.ndarray, np.ndarray]:

@@ -43,11 +43,13 @@ class HaloTables:
     multi-chip default for self-graph processors under a >1 model axis.
     With ``plans`` (a ``graphs.kernel_plan.ShardedKernelPlan``), each shard
     runs the fused Pallas kernel on its local subgraph instead of the COO
-    segment path (``graph_impl="pallas"`` under a mesh)."""
+    segment path (``graph_impl="pallas"`` under a mesh). ``gnn_tables``
+    (``HaloGNNTables``) give the GNN conv its scatter-free gather layouts."""
 
-    def __init__(self, part, plans=None):
+    def __init__(self, part, plans=None, gnn_tables=None):
         self.part = part
         self.plans = plans
+        self.gnn_tables = gnn_tables
 
 
 def num_chunks_inference() -> int:

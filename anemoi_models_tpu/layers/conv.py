@@ -84,7 +84,11 @@ class GraphConv(nn.Module):
                 _ = mlp(jnp.zeros((1, in_width), self.dtype))  # materialize params
                 w = mlp.variables["params"]
                 if edge_attr.ndim == 3:  # (B, E, C) global edge order
-                    edge_sh = shard_edge_values(edge_attr, tables.part)
+                    edge_sh = shard_edge_values(
+                        edge_attr, tables.part,
+                        edge_pos=tables.gnn_tables.edge_pos
+                        if tables.gnn_tables is not None else None,
+                    )
                 else:  # already (S, B, E_pad, C) from a previous layer
                     edge_sh = edge_attr
                 return halo_graph_conv(
@@ -92,6 +96,7 @@ class GraphConv(nn.Module):
                     apply_fn=lambda p, cat: apply_mlp_params(
                         p, cat, self.activation, self.dtype
                     ),
+                    tables=tables.gnn_tables,
                 )
             if isinstance(tables, PlannedTables):
                 # fused slot path (Pallas kernel on TPU, jnp twin elsewhere):

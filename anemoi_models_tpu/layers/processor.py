@@ -87,6 +87,7 @@ def _tables(
             if key not in cache:
                 cache[key] = partition_1hop(sub_graph.edge_index, num_dst, shards)
             plans = None
+            gnn_tables = None
             if graph_impl == "pallas" and halo_plans:
                 import os
 
@@ -97,7 +98,14 @@ def _tables(
                 if pkey not in cache:
                     cache[pkey] = build_halo_kernel_plans(cache[key], block_nodes=nb)
                 plans = cache[pkey]
-            return HaloTables(part=cache[key], plans=plans)
+            if not halo_plans:  # GNN flavor: scatter-free gather layouts
+                from anemoi_models_tpu.graphs.kernel_plan import build_halo_gnn_tables
+
+                gkey = ("halo_gnn_tables", num_dst, shards)
+                if gkey not in cache:
+                    cache[gkey] = build_halo_gnn_tables(cache[key])
+                gnn_tables = cache[gkey]
+            return HaloTables(part=cache[key], plans=plans, gnn_tables=gnn_tables)
     if graph_impl == "pallas":
         import os
 

@@ -70,6 +70,7 @@ def halo_graph_conv(
     activation: str = "SiLU",
     axis: str = "model",
     apply_fn: Optional[Callable] = None,
+    tables=None,  # graphs.kernel_plan.HaloGNNTables -> scatter-free path
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One GraphConv aggregation under halo exchange.
 
@@ -87,6 +88,11 @@ def halo_graph_conv(
     :func:`apply_edge_mlp`); pass ``ops/slot_gnn.apply_mlp_params`` bound to
     a flax ``MLP`` param tree to run a standard ``GraphConv``'s own MLP
     shard-locally (identical param layout to the single-device path).
+
+    With ``tables`` (``graphs.kernel_plan.HaloGNNTables``), every gather and
+    the sum-aggregation run over static padded layouts with take-only
+    adjoints — no HLO scatter in forward or backward (the default path uses
+    segment ops).
     """
     apply_fn = apply_fn or (lambda p, cat: apply_edge_mlp(p, cat, activation))
     bc = jnp.asarray(part.boundary_contrib)
@@ -96,23 +102,51 @@ def halo_graph_conv(
     em = jnp.asarray(part.edge_mask)
     x_pad = pad_nodes(x, part)
     batched_edges = edge_attr_sharded.ndim == 4
+    tab_arrays = ()
+    if tables is not None:
+        tab_arrays = tuple(
+            jnp.asarray(a)
+            for a in (tables.dst_tab, tables.dst_mask, tables.dst_inv,
+                      tables.src_tab, tables.src_mask,
+                      *tables.t_contrib, *tables.t_halo)
+        )
 
-    def local(x_blk, bc_blk, hs_blk, hm_blk, le_blk, em_blk, e_blk, p):
-        contrib = jnp.take(x_blk, bc_blk[0], axis=1)
+    def local(x_blk, bc_blk, hs_blk, hm_blk, le_blk, em_blk, e_blk, p, *tabs):
+        from anemoi_models_tpu.ops.dense_graph import padded_take, table_take
+
+        if tabs:
+            tc_t, tc_m, th_t, th_m = (t[0] for t in tabs[5:9])
+            contrib = jax.vmap(lambda xb: padded_take(xb, bc_blk[0], tc_t, tc_m))(x_blk)
+        else:
+            contrib = jnp.take(x_blk, bc_blk[0], axis=1)
         pool = jax.lax.all_gather(contrib, axis, axis=1, tiled=True)
-        halo = jnp.take(pool, hs_blk[0], axis=1) * hm_blk[0][None, :, None].astype(x_blk.dtype)
+        if tabs:
+            halo = jax.vmap(lambda pb: padded_take(pb, hs_blk[0], th_t, th_m))(pool)
+        else:
+            halo = jnp.take(pool, hs_blk[0], axis=1)
+        halo = halo * hm_blk[0][None, :, None].astype(x_blk.dtype)
         x_ext = jnp.concatenate([x_blk, halo], axis=1)
 
         edges = le_blk[0]
-        x_j = jnp.take(x_ext, edges[:, 0], axis=1)  # source features (B, E_pad, C)
-        x_i = jnp.take(x_blk, edges[:, 1], axis=1)  # destination features
+        if tabs:
+            d_tab, d_mask, d_inv, s_tab, s_mask = (t[0] for t in tabs[:5])
+            x_j = jax.vmap(lambda xb: padded_take(xb, edges[:, 0], s_tab, s_mask))(x_ext)
+            x_i = jax.vmap(lambda xb: padded_take(xb, edges[:, 1], d_tab, d_mask))(x_blk)
+        else:
+            x_j = jnp.take(x_ext, edges[:, 0], axis=1)  # source features (B, E_pad, C)
+            x_i = jnp.take(x_blk, edges[:, 1], axis=1)  # destination features
         if batched_edges:
             e = e_blk[0]  # (B, E_pad, C)
         else:
             e = jnp.broadcast_to(e_blk[0][None], x_i.shape)
         msg = apply_fn(p, jnp.concatenate([x_i, x_j, e], axis=-1)) + e
         msg = msg * em_blk[0][None, :, None].astype(msg.dtype)
-        agg = segment_sum(msg, edges[:, 1], part.nodes_per_shard, indices_are_sorted=False)
+        if tabs:
+            agg = jax.vmap(
+                lambda mb: table_take(mb, d_tab, d_mask, d_inv).sum(axis=1)
+            )(msg)
+        else:
+            agg = segment_sum(msg, edges[:, 1], part.nodes_per_shard, indices_are_sorted=False)
         return agg, msg[None]  # msg stays shard-local as next layer's edges
 
     run = jax.shard_map(
@@ -127,19 +161,39 @@ def halo_graph_conv(
             P(axis, None),
             P(axis, None, None, None) if batched_edges else P(axis, None, None),
             P(),  # params replicated
-        ),
+        ) + tuple(P(axis, *([None] * (a.ndim - 1))) for a in tab_arrays),
         out_specs=(P(None, axis, None), P(axis, None, None, None)),
     )
-    out, edges_new = run(x_pad, bc, hs, hm, le, em, edge_attr_sharded, params)
+    out, edges_new = run(x_pad, bc, hs, hm, le, em, edge_attr_sharded, params, *tab_arrays)
     return unpad_nodes(out, part), edges_new
 
 
-def shard_edge_values(values: jnp.ndarray, part: HaloPartition) -> jnp.ndarray:
+def shard_edge_values(
+    values: jnp.ndarray, part: HaloPartition, edge_pos=None
+) -> jnp.ndarray:
     """Rearrange global CSR-ordered per-edge values (..., E, C) into the
     per-shard layout matching ``part.local_edges`` (gather by the partition's
     global edge ids; padded slots carry edge 0 and are masked inside the
     kernel). (E, C) input -> (S, E_pad, C); batched (B, E, C) input ->
-    (S, B, E_pad, C)."""
+    (S, B, E_pad, C).
+
+    ``edge_pos`` (E,) — each global edge's flat (S·E_pad) slot, from
+    ``HaloGNNTables`` — makes the gather's adjoint a masked position-take
+    instead of a scatter (every edge lives in exactly one shard slot)."""
+    if edge_pos is not None and values.ndim == 3:
+        from anemoi_models_tpu.ops.dense_graph import _masked_pos_take, take_rows
+
+        s, e_pad = part.edge_ids.shape
+        e = values.shape[-2]
+        flat_ids = np.asarray(part.edge_ids).ravel()
+
+        def one(vb):  # (E, C) -> (S, E_pad, C)
+            def adj(g):  # (S*E_pad, C) -> (E, C)
+                return _masked_pos_take(g, edge_pos, e, axis=-2)
+
+            return take_rows(vb, flat_ids, 0, adj).reshape(s, e_pad, -1)
+
+        return jnp.moveaxis(jax.vmap(one)(values), 1, 0)  # (S, B, E_pad, C)
     ids = jnp.asarray(part.edge_ids)  # (S, E_pad)
     gathered = jnp.take(values, ids, axis=-2)  # (..., S, E_pad, C)
     if values.ndim == 2:

@@ -77,6 +77,31 @@ def test_gnn_processor_halo_hlo_no_full_allgather():
     )
 
 
+def test_gnn_processor_halo_backward_is_scatter_free():
+    """With the HaloGNNTables gather layouts, the sharded GNN processor's
+    gradient compiles without HLO scatters (only the reduce-scatter
+    collective adjoint of the halo all-gather)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    proc, x, n, ch = _build(refinements=2)
+    mesh = make_mesh(data=1, model=8)
+    with use_mesh(mesh):
+        xs = jax.device_put(x, NamedSharding(mesh, P()))
+        params = jax.jit(proc.init)(jax.random.key(0), xs)
+
+        def loss(p, x):
+            return jnp.sum(proc.apply(p, x) ** 2)
+
+        compiled = jax.jit(jax.grad(loss, argnums=(0, 1))).lower(params, xs).compile()
+        gp, gx = compiled(params, xs)
+    assert jnp.isfinite(gx).all()
+    bad = [
+        ln for ln in compiled.as_text().splitlines()
+        if "scatter(" in ln and "reduce-scatter" not in ln and "reduce_scatter" not in ln
+    ]
+    assert not bad, f"halo GNN backward must be scatter-free: {bad[:3]}"
+
+
 def test_gnn_processor_halo_grads_flow():
     from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -354,10 +354,21 @@ class HaloGNNProcessor(nn.Module):
 
         use_halo = mesh is not None and "model" in mesh.axis_names and mesh.shape["model"] > 1
         if use_halo:
+            from anemoi_models_tpu.graphs.kernel_plan import build_halo_gnn_tables
+            from anemoi_models_tpu.graphs.partition import _edge_set_cache
+
             shards = self.num_shards or mesh.shape["model"]
-            part = partition_1hop(edge_index_np, num_nodes, shards)
+            cache = _edge_set_cache(self.sub_graph)
+            pkey = ("halo_part", num_nodes, shards)
+            if pkey not in cache:
+                cache[pkey] = partition_1hop(edge_index_np, num_nodes, shards)
+            part = cache[pkey]
+            gkey = ("halo_gnn_tables", num_nodes, shards)
+            if gkey not in cache:
+                cache[gkey] = build_halo_gnn_tables(part)
+            gnn_tables = cache[gkey]
             # shard edge features into the per-shard batched layout
-            edge_sharded = shard_edge_values(edge_attr, part)
+            edge_sharded = shard_edge_values(edge_attr, part, edge_pos=gnn_tables.edge_pos)
         else:
             edge_index = jnp.asarray(edge_index_np)
             tables = _tables(self.sub_graph, num_nodes, "dense")
@@ -375,7 +386,8 @@ class HaloGNNProcessor(nn.Module):
                 # updated edges stay shard-local between layers — same
                 # threading as GNNProcessor's edges_new, zero extra comms
                 agg, edge_sharded = halo_graph_conv(
-                    mesh, part, conv_params, x, edge_sharded, activation=self.activation
+                    mesh, part, conv_params, x, edge_sharded,
+                    activation=self.activation, tables=gnn_tables,
                 )
             else:
                 from anemoi_models_tpu.parallel.halo_conv import apply_edge_mlp

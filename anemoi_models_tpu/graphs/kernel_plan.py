@@ -290,6 +290,40 @@ class ShardedKernelPlan:
         return float(self.slot_mask.sum()) / max(total, 1.0)
 
 
+def _stack_padded(tabs: list, masks: list) -> tuple[np.ndarray, np.ndarray]:
+    """Stack per-shard (rows, M_s) tables over the shard axis, padding M to
+    the max across shards (−1 / False in the padding)."""
+    m = max(t.shape[1] for t in tabs)
+    tab = np.stack(
+        [np.pad(t, ((0, 0), (0, m - t.shape[1])), constant_values=-1) for t in tabs]
+    )
+    msk = np.stack([np.pad(k, ((0, 0), (0, m - k.shape[1]))) for k in masks])
+    return tab.astype(np.int32), msk
+
+
+def _exchange_transpose_tables(part) -> tuple[tuple, tuple]:
+    """Inverse tables for the halo-exchange gathers (contrib and select):
+    each local row feeds <=1 pool slot per shard and each pool slot feeds
+    <=1 halo row per shard, so both adjoints become masked takes."""
+    s_count, nps = part.num_shards, part.nodes_per_shard
+    b_pad = part.boundary_contrib.shape[1]
+    pool_rows = s_count * b_pad
+    pool_live = np.zeros(pool_rows, dtype=bool)
+    pool_live[part.halo_select[part.halo_mask]] = True
+    tc_tab, tc_mask, th_tab, th_mask = [], [], [], []
+    for s in range(s_count):
+        live = pool_live[s * b_pad + np.arange(b_pad)]
+        tab, msk = _padded_transpose(np.where(live, part.boundary_contrib[s], -1), nps)
+        tc_tab.append(tab)
+        tc_mask.append(msk)
+        tab, msk = _padded_transpose(
+            np.where(part.halo_mask[s], part.halo_select[s], -1), pool_rows
+        )
+        th_tab.append(tab)
+        th_mask.append(msk)
+    return _stack_padded(tc_tab, tc_mask), _stack_padded(th_tab, th_mask)
+
+
 def build_halo_kernel_plans(
     part,  # graphs.partition.HaloPartition
     *,
@@ -410,14 +444,8 @@ def build_halo_kernel_plans(
             tabs.append(tab)
             masks.append(msk)
 
-    def stack_padded(tabs, masks):
-        m = max(t.shape[1] for t in tabs)
-        tab = np.stack([np.pad(t, ((0, 0), (0, m - t.shape[1])), constant_values=-1) for t in tabs])
-        msk = np.stack([np.pad(k, ((0, 0), (0, m - k.shape[1]))) for k in masks])
-        return tab.astype(np.int32), msk
-
-    sp.t_out_src = stack_padded(ts_tab, ts_mask)
-    sp.t_out_dst = stack_padded(td_tab, td_mask)
+    sp.t_out_src = _stack_padded(ts_tab, ts_mask)
+    sp.t_out_dst = _stack_padded(td_tab, td_mask)
     dtab, dmask = sp.t_out_dst
     md = dtab.shape[2]
     sp.out_slot_of_pos = np.full((s_count, eo), -1, dtype=np.int32)
@@ -425,23 +453,7 @@ def build_halo_kernel_plans(
         rr, jj = np.nonzero(dmask[s])
         sp.out_slot_of_pos[s][dtab[s][rr, jj]] = (rr * md + jj).astype(np.int32)
 
-    b_pad = part.boundary_contrib.shape[1]
-    pool_rows = s_count * b_pad
-    pool_live = np.zeros(pool_rows, dtype=bool)
-    pool_live[part.halo_select[part.halo_mask]] = True
-    tc_tab, tc_mask, th_tab, th_mask = [], [], [], []
-    for s in range(s_count):
-        live = pool_live[s * b_pad + np.arange(b_pad)]
-        tab, msk = _padded_transpose(np.where(live, part.boundary_contrib[s], -1), nps)
-        tc_tab.append(tab)
-        tc_mask.append(msk)
-        tab, msk = _padded_transpose(
-            np.where(part.halo_mask[s], part.halo_select[s], -1), pool_rows
-        )
-        th_tab.append(tab)
-        th_mask.append(msk)
-    sp.t_contrib = stack_padded(tc_tab, tc_mask)
-    sp.t_halo = stack_padded(th_tab, th_mask)
+    sp.t_contrib, sp.t_halo = _exchange_transpose_tables(part)
     return sp
 
 
@@ -479,15 +491,8 @@ def build_halo_gnn_tables(part) -> HaloGNNTables:
         st.append(tab)
         sm_.append(msk)
 
-    def stack(tabs, masks):
-        m = max(t.shape[1] for t in tabs)
-        tab = np.stack([np.pad(t, ((0, 0), (0, m - t.shape[1])), constant_values=-1) for t in tabs])
-        return tab.astype(np.int32), np.stack(
-            [np.pad(k, ((0, 0), (0, m - k.shape[1]))) for k in masks]
-        )
-
-    dst_tab, dst_mask = stack(dt, dm)
-    src_tab, src_mask = stack(st, sm_)
+    dst_tab, dst_mask = _stack_padded(dt, dm)
+    src_tab, src_mask = _stack_padded(st, sm_)
     mg = dst_tab.shape[2]
     e_pad = part.local_edges.shape[1]
     dst_inv = np.full((s_count, e_pad), -1, dtype=np.int32)
@@ -495,21 +500,7 @@ def build_halo_gnn_tables(part) -> HaloGNNTables:
         rr, jj = np.nonzero(dst_mask[s])
         dst_inv[s][dst_tab[s][rr, jj]] = (rr * mg + jj).astype(np.int32)
 
-    b_pad = part.boundary_contrib.shape[1]
-    pool_rows = s_count * b_pad
-    pool_live = np.zeros(pool_rows, dtype=bool)
-    pool_live[part.halo_select[part.halo_mask]] = True
-    tc_tab, tc_mask, th_tab, th_mask = [], [], [], []
-    for s in range(s_count):
-        live = pool_live[s * b_pad + np.arange(b_pad)]
-        tab, msk = _padded_transpose(np.where(live, part.boundary_contrib[s], -1), nps)
-        tc_tab.append(tab)
-        tc_mask.append(msk)
-        tab, msk = _padded_transpose(
-            np.where(part.halo_mask[s], part.halo_select[s], -1), pool_rows
-        )
-        th_tab.append(tab)
-        th_mask.append(msk)
+    t_contrib, t_halo = _exchange_transpose_tables(part)
 
     num_edges = int(part.edge_mask.sum())
     edge_pos = np.full(num_edges, -1, dtype=np.int32)
@@ -520,8 +511,8 @@ def build_halo_gnn_tables(part) -> HaloGNNTables:
     return HaloGNNTables(
         dst_tab=dst_tab, dst_mask=dst_mask, dst_inv=dst_inv,
         src_tab=src_tab, src_mask=src_mask,
-        t_contrib=stack(tc_tab, tc_mask),
-        t_halo=stack(th_tab, th_mask),
+        t_contrib=t_contrib,
+        t_halo=t_halo,
         edge_pos=edge_pos,
     )
 

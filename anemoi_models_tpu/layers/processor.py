@@ -52,6 +52,35 @@ def register_edges(
     return edge_attr, edge_index, edge_attr.shape[1] + trainable_size
 
 
+def _halo_part(sub_graph: EdgeSet, num_dst: int, shards: int):
+    """Cached 1-hop halo partition for an edge set (one cache-key scheme
+    shared by every caller)."""
+    from anemoi_models_tpu.graphs.partition import _edge_set_cache, partition_1hop
+
+    cache = _edge_set_cache(sub_graph)
+    key = ("halo_part", num_dst, shards)
+    if key not in cache:
+        cache[key] = partition_1hop(sub_graph.edge_index, num_dst, shards)
+    return cache[key], cache
+
+
+def _halo_gnn_layout(sub_graph: EdgeSet, num_dst: int, shards: int):
+    """(partition, HaloGNNTables-or-None): the scatter-free gather layouts,
+    unless the worst-shard max degree makes the flat padding ruinous (skewed
+    graphs keep the segment path)."""
+    from anemoi_models_tpu.graphs.kernel_plan import build_halo_gnn_tables
+
+    part, cache = _halo_part(sub_graph, num_dst, shards)
+    gkey = ("halo_gnn_tables", num_dst, shards)
+    if gkey not in cache:
+        tables = build_halo_gnn_tables(part)
+        mean_deg = float(part.edge_mask.sum()) / max(num_dst, 1)
+        if tables.dst_tab.shape[2] > max(32.0, 4.0 * mean_deg):
+            tables = None  # padded width would dwarf the mean degree
+        cache[gkey] = tables
+    return part, cache[gkey]
+
+
 def _tables(
     sub_graph: EdgeSet,
     num_dst: int,
@@ -78,14 +107,10 @@ def _tables(
 
         mesh = get_mesh()
         if mesh is not None and "model" in mesh.axis_names and mesh.shape["model"] > 1:
-            from anemoi_models_tpu.graphs.partition import _edge_set_cache, partition_1hop
             from anemoi_models_tpu.layers.block import HaloTables
 
             shards = mesh.shape["model"]
-            cache = _edge_set_cache(sub_graph)
-            key = ("halo_part", num_dst, shards)
-            if key not in cache:
-                cache[key] = partition_1hop(sub_graph.edge_index, num_dst, shards)
+            part, cache = _halo_part(sub_graph, num_dst, shards)
             plans = None
             gnn_tables = None
             if graph_impl == "pallas" and halo_plans:
@@ -96,16 +121,11 @@ def _tables(
                 nb = int(os.environ.get("ANEMOI_PLAN_BLOCK_NODES", "128"))
                 pkey = ("halo_kernel_plans", num_dst, shards, nb)
                 if pkey not in cache:
-                    cache[pkey] = build_halo_kernel_plans(cache[key], block_nodes=nb)
+                    cache[pkey] = build_halo_kernel_plans(part, block_nodes=nb)
                 plans = cache[pkey]
             if not halo_plans:  # GNN flavor: scatter-free gather layouts
-                from anemoi_models_tpu.graphs.kernel_plan import build_halo_gnn_tables
-
-                gkey = ("halo_gnn_tables", num_dst, shards)
-                if gkey not in cache:
-                    cache[gkey] = build_halo_gnn_tables(cache[key])
-                gnn_tables = cache[gkey]
-            return HaloTables(part=cache[key], plans=plans, gnn_tables=gnn_tables)
+                _, gnn_tables = _halo_gnn_layout(sub_graph, num_dst, shards)
+            return HaloTables(part=part, plans=plans, gnn_tables=gnn_tables)
     if graph_impl == "pallas":
         import os
 
@@ -329,7 +349,6 @@ class HaloGNNProcessor(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, **kwargs) -> jnp.ndarray:
-        from anemoi_models_tpu.graphs.partition import partition_1hop
         from anemoi_models_tpu.layers.mlp import MLP
         from anemoi_models_tpu.parallel.api import get_mesh
         from anemoi_models_tpu.parallel.halo_conv import halo_graph_conv, shard_edge_values
@@ -354,21 +373,18 @@ class HaloGNNProcessor(nn.Module):
 
         use_halo = mesh is not None and "model" in mesh.axis_names and mesh.shape["model"] > 1
         if use_halo:
-            from anemoi_models_tpu.graphs.kernel_plan import build_halo_gnn_tables
-            from anemoi_models_tpu.graphs.partition import _edge_set_cache
-
             shards = self.num_shards or mesh.shape["model"]
-            cache = _edge_set_cache(self.sub_graph)
-            pkey = ("halo_part", num_nodes, shards)
-            if pkey not in cache:
-                cache[pkey] = partition_1hop(edge_index_np, num_nodes, shards)
-            part = cache[pkey]
-            gkey = ("halo_gnn_tables", num_nodes, shards)
-            if gkey not in cache:
-                cache[gkey] = build_halo_gnn_tables(part)
-            gnn_tables = cache[gkey]
+            assert shards == mesh.shape["model"], (
+                f"HaloGNNProcessor num_shards ({shards}) must equal the mesh "
+                f"model-axis size ({mesh.shape['model']}): the shard_map "
+                f"splits every per-shard array by that axis"
+            )
+            part, gnn_tables = _halo_gnn_layout(self.sub_graph, num_nodes, shards)
             # shard edge features into the per-shard batched layout
-            edge_sharded = shard_edge_values(edge_attr, part, edge_pos=gnn_tables.edge_pos)
+            edge_sharded = shard_edge_values(
+                edge_attr, part,
+                edge_pos=gnn_tables.edge_pos if gnn_tables is not None else None,
+            )
         else:
             edge_index = jnp.asarray(edge_index_np)
             tables = _tables(self.sub_graph, num_nodes, "dense")

@@ -5,6 +5,7 @@ in softmax/LayerNorm keeps bf16 rollouts comparable)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from anemoi_models_tpu.data_indices import IndexCollection
 from anemoi_models_tpu.models import AnemoiModelEncProcDec
@@ -25,9 +26,6 @@ def build(small_graph, dtype, graph_impl=None):
         dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
     )
     return di, model
-
-
-import pytest
 
 
 @pytest.mark.parametrize("graph_impl", [None, "pallas"])

@@ -120,6 +120,34 @@ def main() -> None:
     data_order = os.environ.get("BENCH_DATA_ORDER", "rows")
     attention_impl = os.environ.get("BENCH_ATTN_IMPL") or None  # pallas | chunked | reference
 
+    # BENCH_MODEL=hierarchical benches the mesh-pyramid model instead of the
+    # flat enc-proc-dec (BENCH_LEVELS pyramid depth)
+    bench_model = os.environ.get("BENCH_MODEL", "encprocdec")
+    if bench_model == "hierarchical":
+        from __graft_entry__ import _build_hierarchical
+
+        levels = int(os.environ.get("BENCH_LEVELS", "3"))
+        model, x, n_out = _build_hierarchical(
+            grid_lat=grid_lat, mesh_refinements=refinements, num_levels=levels,
+            num_channels=channels, num_layers=layers, dtype=dtype, grid=grid,
+            remat_policy=remat, batch_size=batch, graph_impl=graph_impl,
+        )
+        gps = _measure_model(model, x, n_out, mode, iters, batch)
+        print(
+            json.dumps(
+                {
+                    "metric": f"hierarchical[{levels}-level{'/' + graph_impl if graph_impl else ''}] "
+                    f"{'train-step' if mode == 'train' else 'fwd'} grid-points/s/chip "
+                    f"({'O' + str(grid_lat) if grid == 'octahedral' else 'latlon'}"
+                    f" grid={x.shape[3]}, B={batch}, mesh_r{refinements}, C={channels}, {dtype})",
+                    "value": round(gps, 1),
+                    "unit": "grid-points/s",
+                    "vs_baseline": round(gps / TARGET_GRID_POINTS_PER_S, 4),
+                }
+            )
+        )
+        return
+
     def measure(impl):
         model, x, n_out = _build(
             grid_lat=grid_lat,

@@ -6,6 +6,7 @@ from anemoi_models_tpu.graphs.build import (
     icosahedral_nodes,
     knn_edges,
     latlon_grid_nodes,
+    nodes_from_coords,
     octahedral_grid_nodes,
 )
 from anemoi_models_tpu.graphs.container import EdgeSet, HeteroGraph, NodeSet
@@ -21,5 +22,6 @@ __all__ = [
     "icosahedral_nodes",
     "knn_edges",
     "latlon_grid_nodes",
+    "nodes_from_coords",
     "octahedral_grid_nodes",
 ]

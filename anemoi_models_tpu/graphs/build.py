@@ -29,6 +29,7 @@ __all__ = [
     "cutoff_edges",
     "multiscale_edges",
     "edge_attributes",
+    "nodes_from_coords",
     "build_enc_proc_dec_graph",
     "build_hierarchical_graph",
 ]
@@ -277,10 +278,25 @@ def edge_attributes(src: NodeSet, dst: NodeSet, edge_index: np.ndarray) -> dict[
     return {"edge_length": length, "edge_dirs": dirs}
 
 
+def nodes_from_coords(coords: np.ndarray, area_weight: np.ndarray | None = None) -> NodeSet:
+    """Wrap arbitrary (lat, lon)-radian coordinates — e.g. a dataset's own
+    grid — as a data NodeSet. Area weights default to cos(lat) normalized to
+    mean 1 (exact for any latitude-banded grid, a good proxy otherwise)."""
+    coords = np.asarray(coords, np.float64)
+    if coords.ndim != 2 or coords.shape[1] != 2:
+        raise ValueError(f"coords must be (N, 2) lat/lon radians; got {coords.shape}")
+    if area_weight is None:
+        area_weight = np.cos(coords[:, 0])
+        area_weight = area_weight / max(area_weight.mean(), 1e-12)
+    area_weight = np.asarray(area_weight, np.float32).reshape(len(coords), -1)
+    return NodeSet(coords=coords, attrs={"area_weight": area_weight})
+
+
 def build_enc_proc_dec_graph(
     *,
     grid_lat: int = 32,
     grid: str = "latlon",
+    data_nodes: NodeSet | None = None,
     mesh_refinements: int = 3,
     encoder_cutoff_factor: float = 1.6,
     decoder_knn: int = 3,
@@ -303,10 +319,11 @@ def build_enc_proc_dec_graph(
     is kept in ``nodes["data"].attrs["source_index"]`` for ingest-time
     permutation of row-ordered datasets.
     """
-    if grid == "octahedral":
-        data_nodes = octahedral_grid_nodes(grid_lat)
-    else:
-        data_nodes = latlon_grid_nodes(grid_lat)
+    if data_nodes is None:
+        if grid == "octahedral":
+            data_nodes = octahedral_grid_nodes(grid_lat)
+        else:
+            data_nodes = latlon_grid_nodes(grid_lat)
     hidden_nodes, face_levels = icosahedral_nodes(mesh_refinements)
     # bandwidth-minimizing renumbering of mesh nodes (fine-level RCM) for
     # gather locality and the edge-attention kernel's contiguous source slabs
@@ -356,6 +373,7 @@ def build_hierarchical_graph(
     *,
     grid_lat: int = 32,
     grid: str = "latlon",
+    data_nodes: NodeSet | None = None,
     mesh_refinements: int = 3,
     num_levels: int = 2,
     encoder_cutoff_factor: float = 1.6,
@@ -374,10 +392,11 @@ def build_hierarchical_graph(
     (reference ``models/hierarchical.py:53-163``).
     """
     assert num_levels >= 1 and mesh_refinements - (num_levels - 1) >= 0
-    if grid == "octahedral":
-        data_nodes = octahedral_grid_nodes(grid_lat)
-    else:
-        data_nodes = latlon_grid_nodes(grid_lat)
+    if data_nodes is None:
+        if grid == "octahedral":
+            data_nodes = octahedral_grid_nodes(grid_lat)
+        else:
+            data_nodes = latlon_grid_nodes(grid_lat)
     hidden_names = [f"{hidden_prefix}_{i + 1}" for i in range(num_levels)]
     level_nodes: list[NodeSet] = []
     level_faces: list[np.ndarray] = []

@@ -130,15 +130,21 @@ def build_edge_kernel_plan(
         slab_start, src_slab_idx, slot_mask, edge_ids, code = got
         src_slab_idx = src_slab_idx[:, None]
         slot_mask = slot_mask[:, None]
-        out_src, out_dst, out_eid = [], [], []
-        for b in range(num_blocks):
-            e0, e1 = starts[b], starts[b + 1]
-            c = code[e0:e1]
-            spill = np.concatenate([np.nonzero(c == 2)[0], np.nonzero(c == 1)[0]]) + e0
-            if spill.size:
-                out_src.append(src[spill])
-                out_dst.append(dst[spill])
-                out_eid.append(all_eids[spill])
+        # Spilled edges, ordered per block as (overflow first, then
+        # out-of-window), each group in edge order — one lexsort reproduces
+        # the per-block concatenation the loop used to build (the later
+        # stable dst-sort makes only the within-destination order
+        # observable, and block > dst > code > eid preserves it exactly).
+        sp = np.nonzero(code > 0)[0]
+        if sp.size:
+            blk = np.searchsorted(starts, sp, side="right") - 1
+            order = np.lexsort((sp, code[sp] == 1, blk))
+            spill = sp[order]
+            out_src = [src[spill]]
+            out_dst = [dst[spill]]
+            out_eid = [all_eids[spill]]
+        else:
+            out_src, out_dst, out_eid = [], [], []
     else:
         slab_start = np.zeros(num_blocks, dtype=np.int32)
         src_slab_idx = np.zeros((rows, 1), dtype=np.int32)

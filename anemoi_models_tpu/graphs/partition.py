@@ -252,15 +252,15 @@ def bucketed_neighbor_tables(
         if node_ids.size == 0:
             continue
         nb = len(node_ids)
-        edge_ids = np.zeros((nb, cap), dtype=np.int32)
-        src_ids = np.zeros((nb, cap), dtype=np.int32)
-        mask = np.zeros((nb, cap), dtype=bool)
-        for i, d in enumerate(node_ids):
-            lo, hi = starts[d], starts[d + 1]
-            k = hi - lo
-            edge_ids[i, :k] = np.arange(lo, hi, dtype=np.int32)
-            src_ids[i, :k] = src[lo:hi]
-            mask[i, :k] = True
+        k = counts[node_ids]  # (nb,) true degrees, all <= cap
+        slots = np.arange(cap, dtype=np.int64)
+        mask = slots[None, :] < k[:, None]
+        eid = starts[node_ids][:, None] + slots[None, :]
+        edge_ids = np.where(mask, eid, 0).astype(np.int32)
+        if len(src):
+            src_ids = np.where(mask, src[np.minimum(eid, len(src) - 1)], 0).astype(np.int32)
+        else:
+            src_ids = np.zeros_like(edge_ids)
         buckets.append((node_ids, edge_ids, src_ids, mask))
         reassemble[node_ids] = offset + np.arange(nb, dtype=np.int32)
         offset += nb

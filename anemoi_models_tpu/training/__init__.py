@@ -1,17 +1,36 @@
+from anemoi_models_tpu.training.dataset import (
+    H5Dataset,
+    MemmapDataset,
+    SyntheticSource,
+    open_dataset,
+    save_memmap_dataset,
+)
 from anemoi_models_tpu.training.evaluate import evaluate_rollout, rollout_scores
+from anemoi_models_tpu.training.loader import BatchLoader, WindowSampler, device_prefetch
 from anemoi_models_tpu.training.loss import WeightedMSELoss, weighted_mse
 from anemoi_models_tpu.training.optim import ema_update, make_optimizer
 from anemoi_models_tpu.training.rollout import make_rollout_fn
-from anemoi_models_tpu.training.step import make_train_step, TrainState
+from anemoi_models_tpu.training.run import train_run
+from anemoi_models_tpu.training.step import make_rollout_train_step, make_train_step, TrainState
 
 __all__ = [
-    "WeightedMSELoss",
-    "weighted_mse",
-    "make_train_step",
+    "BatchLoader",
+    "H5Dataset",
+    "MemmapDataset",
+    "SyntheticSource",
     "TrainState",
-    "make_rollout_fn",
-    "make_optimizer",
+    "WeightedMSELoss",
+    "WindowSampler",
+    "device_prefetch",
     "ema_update",
     "evaluate_rollout",
+    "make_optimizer",
+    "make_rollout_fn",
+    "make_rollout_train_step",
+    "make_train_step",
+    "open_dataset",
     "rollout_scores",
+    "save_memmap_dataset",
+    "train_run",
+    "weighted_mse",
 ]

@@ -1,0 +1,127 @@
+"""End-to-end tests for the training driver (`training/run.py`).
+
+Covers what the reference delegates to anemoi-training: loss descent over a
+real input pipeline, rollout-through-time training, and exact
+checkpoint/resume (optimizer moments + EMA + sampler position).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+import pytest
+
+from anemoi_models_tpu.graphs import latlon_grid_nodes
+from anemoi_models_tpu.training import train_run
+from anemoi_models_tpu.training.dataset import SyntheticSource
+
+TINY = dict(
+    mesh_refinements=1,
+    model_kwargs=dict(num_channels=16, num_layers=2, num_heads=2, num_chunks=1,
+                      trainable_hidden=2, trainable_edges=2),
+    batch_size=2,
+    log_every=100,
+)
+
+
+@pytest.fixture(scope="module")
+def source():
+    coords = latlon_grid_nodes(8).coords
+    return SyntheticSource(coords, num_vars=4, num_steps=48, seed=1)
+
+
+def test_train_run_descends_and_evaluates(source):
+    result = train_run(
+        source,
+        forcing=("var_0",),
+        steps=8,
+        peak_lr=5e-3,
+        eval_every=8,
+        eval_rollout=2,
+        seed=0,
+        log=lambda s: None,
+        **TINY,
+    )
+    assert result["steps_done"] == 8
+    # loss recorded at log boundary + final step
+    losses = result["losses"]
+    assert losses and np.isfinite(losses).all()
+    assert len(result["eval"]) == 1
+    ev = result["eval"][0]
+    assert np.isfinite(ev["rmse_mean"])
+    # training should beat an untrained net quickly on smooth synthetic data
+    assert losses[-1] < 1.5
+
+
+def test_train_run_rollout_training(source):
+    result = train_run(
+        source,
+        forcing=("var_0",),
+        rollout=3,
+        steps=4,
+        peak_lr=3e-3,
+        seed=0,
+        log=lambda s: None,
+        **TINY,
+    )
+    assert result["steps_done"] == 4
+    assert np.isfinite(result["losses"]).all()
+
+
+def test_train_run_checkpoint_resume(source, tmp_path):
+    common = dict(
+        forcing=("var_0",),
+        peak_lr=2e-3,
+        ema_decay=0.99,
+        checkpoint_dir=str(tmp_path),
+        save_every=2,
+        seed=3,
+        log=lambda s: None,
+        **TINY,
+    )
+    # one 6-step run vs a 3-update boxed run + resume — must agree exactly
+    full = train_run(source, steps=6, **common)
+
+    part = train_run(
+        source, steps=6, max_steps_this_run=3,
+        **{**common, "checkpoint_dir": str(tmp_path / "b")},
+    )
+    assert part["steps_done"] == 3
+    resumed = train_run(
+        source, steps=6, resume=True, **{**common, "checkpoint_dir": str(tmp_path / "b")}
+    )
+    assert resumed["steps_done"] == 6
+
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(full["state"].params),
+        jax.tree_util.tree_leaves_with_path(resumed["state"].params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(full["ema"]), jax.tree_util.tree_leaves(resumed["ema"])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+
+    # resuming a finished run is a no-op
+    again = train_run(
+        source, steps=6, resume=True, **{**common, "checkpoint_dir": str(tmp_path / "b")}
+    )
+    assert again["steps_done"] == 6 and again["losses"] == []
+
+
+def test_train_run_under_mesh(source):
+    from anemoi_models_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=2, model=2)
+    result = train_run(
+        source,
+        forcing=("var_0",),
+        steps=3,
+        peak_lr=2e-3,
+        mesh=mesh,
+        seed=0,
+        log=lambda s: None,
+        **TINY,
+    )
+    assert result["steps_done"] == 3
+    assert np.isfinite(result["losses"]).all()

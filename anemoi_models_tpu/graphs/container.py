@@ -157,3 +157,60 @@ class HeteroGraph:
             key: es.sort_by_dst(self.nodes[key[2]].num_nodes) for key, es in self.edges.items()
         }
         return HeteroGraph(nodes=dict(self.nodes), edges=edges)
+
+    # -- serialization -----------------------------------------------------
+    # Graph builds are expensive at scale (minutes at O1280); a built graph
+    # round-trips through a flat dict of numpy arrays so it can ride an
+    # ``.npz`` file or a checkpoint's supporting-array bundle.
+
+    def to_arrays(self) -> dict[str, np.ndarray]:
+        """Flatten to ``{key: array}``; inverse of :meth:`from_arrays`."""
+        out: dict[str, np.ndarray] = {}
+        for name, ns in self.nodes.items():
+            out[f"node::{name}::coords"] = ns.coords
+            for a, v in ns.attrs.items():
+                out[f"node::{name}::attr::{a}"] = v
+        for (src, _, dst), es in self.edges.items():
+            base = f"edge::{src}::{dst}"
+            out[f"{base}::edge_index"] = es.edge_index
+            if es.dst_ptr is not None:
+                out[f"{base}::dst_ptr"] = es.dst_ptr
+            for a, v in es.attrs.items():
+                out[f"{base}::attr::{a}"] = v
+        return out
+
+    @classmethod
+    def from_arrays(cls, arrays: dict[str, np.ndarray]) -> "HeteroGraph":
+        """Rebuild a graph flattened by :meth:`to_arrays`."""
+        nodes: dict[str, NodeSet] = {}
+        edges: dict[tuple[str, str, str], EdgeSet] = {}
+        for key, value in arrays.items():
+            parts = key.split("::")
+            if parts[0] == "node":
+                name = parts[1]
+                ns = nodes.setdefault(name, NodeSet(coords=np.empty((0, 2))))
+                if parts[2] == "coords":
+                    ns.coords = np.asarray(value)
+                else:
+                    ns.attrs[parts[3]] = np.asarray(value)
+            elif parts[0] == "edge":
+                ekey = (parts[1], "to", parts[2])
+                es = edges.setdefault(ekey, EdgeSet(edge_index=np.empty((2, 0), np.int32)))
+                if parts[3] == "edge_index":
+                    es.edge_index = np.asarray(value)
+                elif parts[3] == "dst_ptr":
+                    es.dst_ptr = np.asarray(value)
+                else:
+                    es.attrs[parts[4]] = np.asarray(value)
+        return cls(nodes=nodes, edges=edges)
+
+    def save(self, path: str) -> str:
+        """Write the graph to an ``.npz`` file; returns the path."""
+        np.savez_compressed(path, **self.to_arrays())
+        return path if path.endswith(".npz") else path + ".npz"
+
+    @classmethod
+    def load(cls, path: str) -> "HeteroGraph":
+        """Read a graph written by :meth:`save`."""
+        with np.load(path) as z:
+            return cls.from_arrays({k: z[k] for k in z.files})

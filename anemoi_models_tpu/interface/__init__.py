@@ -15,6 +15,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from anemoi_models_tpu.preprocessing import Processors
 from anemoi_models_tpu.utils.config import instantiate
@@ -141,22 +142,106 @@ class AnemoiModelInterface:
         return self.post_processors(preds, in_place=False)
 
     # -- checkpointing ---------------------------------------------------
-    def save(self, path: str, opt_state=None, step: Optional[int] = None) -> str:
-        """Persist params + processor state + metadata (orbax)."""
+    def save(
+        self,
+        path: str,
+        opt_state=None,
+        step: Optional[int] = None,
+        include_graph: bool = True,
+    ) -> str:
+        """Persist params + processor state + metadata (orbax).
+
+        With ``include_graph`` (default) the checkpoint is fully
+        self-contained: the graph arrays, per-variable statistics, and the
+        variable table all ride along, so :meth:`from_checkpoint` can rebuild
+        the complete serving interface from the directory alone. Pass
+        ``include_graph=False`` to keep checkpoints small when the graph is
+        cached separately (``HeteroGraph.save``).
+        """
         from anemoi_models_tpu.checkpoint import save_checkpoint
 
         assert self.params is not None, "No params to save; call init_params() first."
+        supporting = dict(self.supporting_arrays)
+        if include_graph and hasattr(self.graph_data, "to_arrays"):
+            supporting.update(
+                {f"graph::{k}": v for k, v in self.graph_data.to_arrays().items()}
+            )
+        metadata = dict(self.metadata)
+        metadata["name_to_index"] = dict(self.data_indices.name_to_index)
+        metadata["statistics"] = {
+            k: np.asarray(v).tolist() for k, v in self.statistics.items()
+        }
         return save_checkpoint(
             path,
             params=self.params,
             processor_state=self.pre_processors.state_dict(),
             opt_state=opt_state,
             step=step,
-            metadata=self.metadata,
+            metadata=metadata,
             config=self.config.to_dict() if hasattr(self.config, "to_dict") else dict(self.config),
-            supporting_arrays=self.supporting_arrays,
+            supporting_arrays=supporting,
             run_id=self.id,
         )
+
+    @classmethod
+    def from_checkpoint(cls, path: str, graph_data=None) -> "AnemoiModelInterface":
+        """Rebuild a ready-to-serve interface from a checkpoint directory.
+
+        The inverse of :meth:`save`: config, variable routing, statistics,
+        graph (unless passed explicitly), parameters, and fitted processor
+        state all come from the checkpoint — the anemoi-inference load path
+        in one call.
+        """
+        from anemoi_models_tpu.checkpoint import load_checkpoint
+        from anemoi_models_tpu.data_indices import IndexCollection
+        from anemoi_models_tpu.utils import DotDict
+
+        restored = load_checkpoint(path)
+        meta = dict(restored.get("metadata") or {})
+        n2i = meta.pop("name_to_index", None)
+        stats = meta.pop("statistics", None)
+        if n2i is None or stats is None:
+            raise ValueError(
+                f"checkpoint {path!r} predates self-contained saves (no variable "
+                "table/statistics in its metadata); rebuild the interface by hand "
+                "and use load() instead"
+            )
+        supporting = dict(restored.get("supporting_arrays") or {})
+        graph_arrays = {
+            k[len("graph::"):]: supporting.pop(k)
+            for k in list(supporting)
+            if k.startswith("graph::")
+        }
+        if graph_data is None:
+            if not graph_arrays:
+                raise ValueError(
+                    f"checkpoint {path!r} was saved with include_graph=False; "
+                    "pass graph_data= (e.g. HeteroGraph.load(...))"
+                )
+            from anemoi_models_tpu.graphs import HeteroGraph
+
+            graph_data = HeteroGraph.from_arrays(graph_arrays)
+
+        config = DotDict(restored.get("config") or {})
+        # JSON floats are doubles; keep them — the normalizer builds its
+        # affine tables in float64 before casting, so restoring at float32
+        # here would perturb the pipeline at the 1e-6 level
+        statistics = {k: np.asarray(v, np.float64) for k, v in stats.items()}
+        iface = cls(
+            config=config,
+            graph_data=graph_data,
+            statistics=statistics,
+            data_indices=IndexCollection(config, {k: int(v) for k, v in n2i.items()}),
+            metadata=meta,
+            supporting_arrays=supporting,
+        )
+        iface.params = restored["params"]
+        if "processor_state" in restored:
+            iface.pre_processors.load_state_dict(restored["processor_state"])
+            iface.post_processors.load_state_dict(restored["processor_state"])
+        if restored.get("run_id"):
+            iface.id = restored["run_id"]
+        return iface
 
     def load(self, path: str) -> dict:
         """Restore params + processor state; returns the full checkpoint dict."""

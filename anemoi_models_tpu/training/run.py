@@ -217,21 +217,15 @@ def train_run(
         def save(step_no: int) -> None:
             if not ckpt_path:
                 return
-            from anemoi_models_tpu.checkpoint import save_checkpoint
-
             opt_tree = {"opt": state.opt_state}
             if ema_decay is not None:
                 opt_tree["ema"] = ema
-            save_checkpoint(
-                ckpt_path,
-                params=state.params,
-                processor_state=iface.pre_processors.state_dict(),
-                opt_state=opt_tree,
-                step=step_no,
-                metadata={**iface.metadata, "sampler": sampler.state()},
-                config=config.to_dict() if hasattr(config, "to_dict") else dict(config),
-                run_id=iface.id,
-            )
+            # interface.save makes the checkpoint self-contained (graph,
+            # statistics, variable table) — directly servable via
+            # AnemoiModelInterface.from_checkpoint
+            iface.params = state.params
+            iface.metadata["sampler"] = sampler.state()
+            iface.save(ckpt_path, opt_state=opt_tree, step=step_no)
 
         sharding = None
         if mesh is not None:

@@ -64,3 +64,28 @@ def test_full_graph_csr_sorted():
         # every hidden (dst of encoder) node must receive at least one edge
         if dst == "hidden":
             assert np.all(np.diff(es.dst_ptr) > 0)
+
+
+def test_hetero_graph_npz_roundtrip(tmp_path):
+    """Graphs round-trip to .npz bit-exactly (build once, load everywhere)."""
+    import numpy as np
+
+    from anemoi_models_tpu.graphs import build_enc_proc_dec_graph
+    from anemoi_models_tpu.graphs.container import HeteroGraph
+
+    g = build_enc_proc_dec_graph(grid_lat=8, mesh_refinements=1)
+    path = g.save(str(tmp_path / "graph.npz"))
+    g2 = HeteroGraph.load(path)
+
+    assert set(g2.nodes) == set(g.nodes)
+    assert set(g2.edges) == set(g.edges)
+    for name, ns in g.nodes.items():
+        np.testing.assert_array_equal(g2[name].coords, ns.coords)
+        assert set(g2[name].attrs) == set(ns.attrs)
+        for a in ns.attrs:
+            np.testing.assert_array_equal(g2[name].attrs[a], ns.attrs[a])
+    for key, es in g.edges.items():
+        np.testing.assert_array_equal(g2[key].edge_index, es.edge_index)
+        np.testing.assert_array_equal(g2[key].dst_ptr, es.dst_ptr)
+        for a in es.attrs:
+            np.testing.assert_array_equal(g2[key].attrs[a], es.attrs[a])

@@ -138,6 +138,38 @@ def test_interface_save_load(small_graph, tmp_path):
     np.testing.assert_allclose(np.asarray(out_before), np.asarray(out_after), atol=1e-6)
 
 
+def test_interface_from_checkpoint(small_graph, tmp_path):
+    """A saved checkpoint alone rebuilds the full serving interface."""
+    cfg = make_config("graphtransformer")
+    di = IndexCollection(cfg, dict(VARS))
+    iface = AnemoiModelInterface(
+        config=cfg, graph_data=small_graph, statistics=make_statistics(), data_indices=di,
+        metadata={"experiment": "self-contained"},
+    )
+    iface.init_params(jax.random.key(0))
+    n_grid = small_graph["data"].num_nodes
+    batch = jnp.asarray(np.random.RandomState(5).rand(1, 2, n_grid, 4), jnp.float32)
+    out_before = iface.predict_step(batch)
+    path = iface.save(str(tmp_path / "ckpt"), step=2)
+
+    served = AnemoiModelInterface.from_checkpoint(path)
+    assert served.id == iface.id
+    assert served.metadata["experiment"] == "self-contained"
+    assert served.data_indices == di
+    np.testing.assert_allclose(
+        np.asarray(served.predict_step(batch)), np.asarray(out_before), atol=1e-6
+    )
+
+    # graph excluded: must ask for one, and accept an externally cached one
+    slim = iface.save(str(tmp_path / "slim"), step=2, include_graph=False)
+    with pytest.raises(ValueError, match="include_graph=False"):
+        AnemoiModelInterface.from_checkpoint(slim)
+    served2 = AnemoiModelInterface.from_checkpoint(slim, graph_data=small_graph)
+    np.testing.assert_allclose(
+        np.asarray(served2.predict_step(batch)), np.asarray(out_before), atol=1e-6
+    )
+
+
 def test_ensemble_dimension(small_graph):
     cfg = make_config("graphtransformer")
     di = IndexCollection(cfg, dict(VARS))

@@ -108,6 +108,16 @@ def test_train_run_checkpoint_resume(source, tmp_path):
     )
     assert again["steps_done"] == 6 and again["losses"] == []
 
+    # the training checkpoint is directly servable (self-contained)
+    from anemoi_models_tpu.interface import AnemoiModelInterface
+
+    served = AnemoiModelInterface.from_checkpoint(full["checkpoint"])
+    n_grid = len(source.coords)
+    n_in = len(served.data_indices.model.input)
+    batch = np.random.RandomState(0).rand(1, 2, n_grid, n_in).astype(np.float32)
+    out = served.predict_step(jax.numpy.asarray(batch))
+    assert out.shape[2] == n_grid and np.isfinite(np.asarray(out)).all()
+
 
 def test_train_run_under_mesh(source):
     from anemoi_models_tpu.parallel import make_mesh

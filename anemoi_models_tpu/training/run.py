@@ -243,7 +243,7 @@ def train_run(
             log(f"checkpoint already at step {start_step} >= steps={steps}; nothing to do")
 
         loader = BatchLoader(source, sampler, depth=loader_depth, max_batches=remaining)
-        t0 = time.perf_counter()
+        t_seg, i_seg = time.perf_counter(), 0
         try:
             stream = device_prefetch(
                 (ingest(b) for b in loader), prefetch=prefetch, sharding=sharding
@@ -252,9 +252,11 @@ def train_run(
                 state, ema, loss = step_fn(state, ema, raw)
                 step_no = start_step + i + 1
                 if step_no % max(log_every, 1) == 0 or step_no == steps:
-                    lv = float(loss)
+                    lv = float(loss)  # host fetch: all queued steps have executed
                     losses.append(lv)
-                    rate = (i + 1) / (time.perf_counter() - t0)
+                    now = time.perf_counter()
+                    rate = (i + 1 - i_seg) / max(now - t_seg, 1e-9)
+                    t_seg, i_seg = now, i + 1
                     log(f"step {step_no:6d}  loss {lv:.5f}  ({rate:.2f} steps/s)")
                 if eval_every and step_no % eval_every == 0:
                     scores = _eval_tail(

@@ -1,0 +1,61 @@
+"""``evaluate`` command: score a checkpoint's rollout against a dataset.
+
+Completes the train/serve/evaluate triad (the reference ecosystem splits
+this into anemoi-training's validation and external verification tools):
+load a self-contained checkpoint, roll it forward on held-out data, and
+report area-weighted RMSE/MAE and skill vs persistence per lead time.
+"""
+
+from __future__ import annotations
+
+from anemoi_models_tpu.commands import register_command
+
+
+@register_command("evaluate")
+class Evaluate:
+    """Score a trained checkpoint on a dataset (rollout vs persistence)."""
+
+    def add_arguments(self, parser) -> None:
+        parser.add_argument("checkpoint", help="checkpoint directory (train --checkpoint-dir)")
+        parser.add_argument("dataset", help="dataset path (memmap dir or .h5)")
+        parser.add_argument("--rollout", type=int, default=4, help="lead times to score")
+        parser.add_argument("--start", type=int, default=None,
+                            help="window start (default: dataset tail)")
+        parser.add_argument("--json", action="store_true", help="print raw JSON scores")
+
+    def run(self, args) -> int:
+        import json
+
+        import numpy as np
+
+        from anemoi_models_tpu.interface import AnemoiModelInterface
+        from anemoi_models_tpu.training import evaluate_interface, open_dataset
+
+        iface = AnemoiModelInterface.from_checkpoint(args.checkpoint)
+        source = open_dataset(args.dataset)
+        missing = [v for v in iface.data_indices.name_to_index if v not in source.variables]
+        if missing:
+            raise SystemExit(f"dataset lacks model variables {missing}")
+
+        scores = evaluate_interface(iface, source, n_steps=args.rollout, start=args.start)
+        if args.json:
+            print(json.dumps({k: np.asarray(v).tolist() for k, v in scores.items()}))
+            return 0
+
+        prog = [
+            n for n, i in sorted(
+                iface.data_indices.internal_model.output.name_to_index.items(),
+                key=lambda kv: kv[1],
+            )
+            if i in set(np.asarray(iface.data_indices.internal_model.output.prognostic).tolist())
+        ]
+        print(f"{'lead':>5}  {'rmse':>9}  {'mae':>9}  {'persist':>9}  {'skill':>7}")
+        for t in range(args.rollout):
+            print(
+                f"{t + 1:>5}  {np.mean(scores['rmse'][t]):>9.5f}  "
+                f"{np.mean(scores['mae'][t]):>9.5f}  "
+                f"{np.mean(scores['persistence_rmse'][t]):>9.5f}  "
+                f"{np.mean(scores['skill_vs_persistence'][t]):>+7.3f}"
+            )
+        print(f"variables: {', '.join(prog)}")
+        return 0

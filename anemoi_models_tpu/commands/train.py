@@ -34,6 +34,10 @@ class Train:
         parser.add_argument("--layers", type=int, default=4)
         parser.add_argument("--heads", type=int, default=4)
         parser.add_argument("--mesh-refinements", type=int, default=3)
+        parser.add_argument("--architecture", default="enc_proc_dec",
+                            choices=("enc_proc_dec", "hierarchical"))
+        parser.add_argument("--hidden-levels", type=int, default=2,
+                            help="mesh-pyramid depth (hierarchical only)")
         parser.add_argument("--lr", type=float, default=1e-3)
         parser.add_argument("--ema", type=float, default=None, help="EMA decay (e.g. 0.999)")
         parser.add_argument("--checkpoint-dir", default=None)
@@ -79,6 +83,8 @@ class Train:
             forcing=tuple(args.forcing),
             diagnostic=tuple(args.diagnostic),
             flavor=args.flavor,
+            architecture=args.architecture,
+            num_hidden_levels=args.hidden_levels,
             mesh_refinements=args.mesh_refinements,
             model_kwargs={
                 "num_channels": args.channels,

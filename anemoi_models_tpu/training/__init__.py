@@ -5,7 +5,7 @@ from anemoi_models_tpu.training.dataset import (
     open_dataset,
     save_memmap_dataset,
 )
-from anemoi_models_tpu.training.evaluate import evaluate_rollout, rollout_scores
+from anemoi_models_tpu.training.evaluate import evaluate_interface, evaluate_rollout, rollout_scores
 from anemoi_models_tpu.training.loader import BatchLoader, WindowSampler, device_prefetch
 from anemoi_models_tpu.training.loss import WeightedMSELoss, weighted_mse
 from anemoi_models_tpu.training.optim import ema_update, make_optimizer
@@ -23,6 +23,7 @@ __all__ = [
     "WindowSampler",
     "device_prefetch",
     "ema_update",
+    "evaluate_interface",
     "evaluate_rollout",
     "make_optimizer",
     "make_rollout_fn",

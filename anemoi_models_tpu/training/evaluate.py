@@ -16,7 +16,7 @@ import numpy as np
 
 from anemoi_models_tpu.training.rollout import make_rollout_fn
 
-__all__ = ["rollout_scores", "evaluate_rollout"]
+__all__ = ["rollout_scores", "evaluate_rollout", "evaluate_interface"]
 
 
 def _wmean(x: jnp.ndarray, w: Optional[jnp.ndarray], axes) -> jnp.ndarray:
@@ -53,6 +53,44 @@ def rollout_scores(
         )
         out["acc"] = np.asarray(num / jnp.maximum(den, 1e-12))
     return out
+
+
+def evaluate_interface(
+    iface: Any,
+    source: Any,
+    n_steps: int = 4,
+    start: Optional[int] = None,
+    params: Any = None,
+) -> dict[str, np.ndarray]:
+    """Score a checkpointed/built interface on a window of a `DataSource`.
+
+    Rolls ``n_steps`` from ``start`` (default: the dataset tail) and returns
+    :func:`evaluate_rollout`'s model-vs-persistence scores, handling the
+    dataset→graph grid permutation and preprocessing internally — the
+    one-call eval for ``AnemoiModelInterface.from_checkpoint`` artifacts.
+    """
+    indices = iface.data_indices
+    graph = iface.graph_data
+    multi_step = iface.multi_step
+    if start is None:
+        start = len(source) - (multi_step + n_steps)
+    raw = source.window(start, multi_step + n_steps)[None]
+    src_idx = graph["data"].attrs.get("source_index")
+    if src_idx is not None:
+        raw = raw[:, :, np.ascontiguousarray(src_idx[:, 0]), :]
+    pre = iface.pre_processors(jnp.asarray(raw), in_place=False)
+    data_in = np.asarray(indices.internal_data.input.full)
+    x0 = pre[:, :multi_step, None][..., data_in]
+    truth_in = jnp.moveaxis(pre[:, multi_step:, None][..., data_in], 1, 0)
+    area = jnp.asarray(graph["data"].attrs["area_weight"][:, 0])
+    return evaluate_rollout(
+        iface.model,
+        indices,
+        params if params is not None else iface.params,
+        x0,
+        truth_in,
+        node_weights=area,
+    )
 
 
 def evaluate_rollout(

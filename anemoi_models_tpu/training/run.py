@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from anemoi_models_tpu.training.dataset import DataSource
-from anemoi_models_tpu.training.evaluate import evaluate_rollout
+from anemoi_models_tpu.training.evaluate import evaluate_interface
 from anemoi_models_tpu.training.loader import BatchLoader, WindowSampler, device_prefetch
 from anemoi_models_tpu.training.loss import WeightedMSELoss
 from anemoi_models_tpu.training.optim import ema_update, make_optimizer
@@ -54,6 +54,8 @@ def train_run(
     forcing: tuple = (),
     diagnostic: tuple = (),
     flavor: str = "graphtransformer",
+    architecture: str = "enc_proc_dec",
+    num_hidden_levels: int = 2,
     mesh_refinements: int = 3,
     model_kwargs: Optional[dict] = None,
     steps: int = 100,
@@ -94,20 +96,40 @@ def train_run(
     """
     from anemoi_models_tpu import configs
     from anemoi_models_tpu.data_indices import IndexCollection
-    from anemoi_models_tpu.graphs import build_enc_proc_dec_graph, nodes_from_coords
+    from anemoi_models_tpu.graphs import (
+        build_enc_proc_dec_graph,
+        build_hierarchical_graph,
+        nodes_from_coords,
+    )
     from anemoi_models_tpu.interface import AnemoiModelInterface
     from anemoi_models_tpu.parallel import use_mesh
 
     model_kwargs = dict(model_kwargs or {})
-    if config is None:
-        config = configs.enc_proc_dec(
-            forcing=tuple(forcing), diagnostic=tuple(diagnostic), flavor=flavor, **model_kwargs
+    data_nodes = nodes_from_coords(np.asarray(source.coords, np.float64))
+    if architecture == "hierarchical":
+        graph, hidden_names = build_hierarchical_graph(
+            data_nodes=data_nodes,
+            mesh_refinements=mesh_refinements,
+            num_levels=num_hidden_levels,
         )
-
-    graph = build_enc_proc_dec_graph(
-        data_nodes=nodes_from_coords(np.asarray(source.coords, np.float64)),
-        mesh_refinements=mesh_refinements,
-    )
+        if config is None:
+            config = configs.hierarchical(
+                forcing=tuple(forcing),
+                diagnostic=tuple(diagnostic),
+                hidden_names=hidden_names,
+                flavor=flavor,
+                **model_kwargs,
+            )
+    else:
+        assert architecture == "enc_proc_dec", f"unknown architecture {architecture!r}"
+        graph = build_enc_proc_dec_graph(
+            data_nodes=data_nodes, mesh_refinements=mesh_refinements
+        )
+        if config is None:
+            config = configs.enc_proc_dec(
+                forcing=tuple(forcing), diagnostic=tuple(diagnostic), flavor=flavor,
+                **model_kwargs,
+            )
     indices = IndexCollection(config, source.name_to_index)
     iface = AnemoiModelInterface(
         config=config,
@@ -260,8 +282,8 @@ def train_run(
                     log(f"step {step_no:6d}  loss {lv:.5f}  ({rate:.2f} steps/s)")
                 if eval_every and step_no % eval_every == 0:
                     scores = _eval_tail(
-                        iface, indices, state.params if ema is None else ema,
-                        source, ingest, multi_step, eval_rollout, data_in, area,
+                        iface, source, eval_rollout,
+                        state.params if ema is None else ema,
                     )
                     evals.append({"step": step_no, **scores})
                     log(
@@ -291,16 +313,9 @@ def train_run(
     }
 
 
-def _eval_tail(
-    iface, indices, params, source, ingest, multi_step, eval_rollout, data_in, area
-) -> dict:
+def _eval_tail(iface, source, eval_rollout, params) -> dict:
     """Score an autoregressive rollout on the held-out dataset tail."""
-    start = len(source) - (multi_step + eval_rollout)
-    raw = jnp.asarray(ingest(source.window(start, multi_step + eval_rollout)[None]))
-    pre = iface.pre_processors(raw, in_place=False)
-    x0 = pre[:, :multi_step, None][..., data_in]
-    truth_in = jnp.moveaxis(pre[:, multi_step:, None][..., data_in], 1, 0)
-    scores = evaluate_rollout(iface.model, indices, params, x0, truth_in, node_weights=area)
+    scores = evaluate_interface(iface, source, n_steps=eval_rollout, params=params)
     return {
         "rmse_mean": float(np.mean(scores["rmse"])),
         "skill_mean": float(np.mean(scores["skill_vs_persistence"])),

@@ -119,6 +119,51 @@ def test_train_run_checkpoint_resume(source, tmp_path):
     assert out.shape[2] == n_grid and np.isfinite(np.asarray(out)).all()
 
 
+def test_train_run_hierarchical(source, tmp_path):
+    result = train_run(
+        source,
+        forcing=("var_0",),
+        architecture="hierarchical",
+        num_hidden_levels=2,
+        steps=3,
+        peak_lr=2e-3,
+        checkpoint_dir=str(tmp_path),
+        seed=0,
+        log=lambda s: None,
+        **TINY,
+    )
+    assert result["steps_done"] == 3
+    assert np.isfinite(result["losses"]).all()
+    # hierarchical checkpoints serve + evaluate through the shared surface
+    from anemoi_models_tpu.interface import AnemoiModelInterface
+    from anemoi_models_tpu.training import evaluate_interface
+
+    served = AnemoiModelInterface.from_checkpoint(result["checkpoint"])
+    scores = evaluate_interface(served, source, n_steps=2)
+    assert np.isfinite(scores["rmse"]).all()
+
+
+def test_evaluate_cli(source, tmp_path, capsys):
+    from anemoi_models_tpu.commands import main
+    from anemoi_models_tpu.training.dataset import save_memmap_dataset
+
+    result = train_run(
+        source, forcing=("var_0",), steps=2, peak_lr=1e-3,
+        checkpoint_dir=str(tmp_path / "ck"), seed=0, log=lambda s: None, **TINY,
+    )
+    data = source.window(0, len(source))
+    save_memmap_dataset(str(tmp_path / "ds"), data, source.variables, source.coords,
+                        statistics=source.statistics)
+    rc = main(["evaluate", result["checkpoint"], str(tmp_path / "ds"),
+               "--rollout", "2", "--json"])
+    assert rc == 0
+    import json
+
+    scores = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(scores["rmse"]) == 2
+    assert np.isfinite(scores["rmse"]).all()
+
+
 def test_train_run_under_mesh(source):
     from anemoi_models_tpu.parallel import make_mesh
 

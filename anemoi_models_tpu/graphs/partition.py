@@ -229,7 +229,7 @@ def bucketed_neighbor_tables(
 
     Requires CSR-sorted edges. Returns ``(buckets, reassemble)``.
     """
-    src, dst = np.asarray(edge_index)
+    src, dst = edge_index[0], edge_index[1]
     assert np.all(np.diff(dst) >= 0), "edge_index must be CSR-sorted by destination"
     counts = np.bincount(dst, minlength=num_dst)
     starts = np.zeros(num_dst + 1, dtype=np.int64)
@@ -243,6 +243,9 @@ def bucketed_neighbor_tables(
         cap *= 2
     caps.append(max(cap, 1))
 
+    from anemoi_models_tpu import native
+
+    src32 = np.ascontiguousarray(src, dtype=np.int32) if len(src) else None
     bucket_of = np.searchsorted(np.asarray(caps), counts, side="left")
     buckets = []
     reassemble = np.zeros(num_dst, dtype=np.int32)
@@ -252,15 +255,19 @@ def bucketed_neighbor_tables(
         if node_ids.size == 0:
             continue
         nb = len(node_ids)
-        k = counts[node_ids]  # (nb,) true degrees, all <= cap
-        slots = np.arange(cap, dtype=np.int64)
-        mask = slots[None, :] < k[:, None]
-        eid = starts[node_ids][:, None] + slots[None, :]
-        edge_ids = np.where(mask, eid, 0).astype(np.int32)
-        if len(src):
-            src_ids = np.where(mask, src[np.minimum(eid, len(src) - 1)], 0).astype(np.int32)
+        got = native.fill_bucket_tables(src32, starts, node_ids, cap) if src32 is not None else None
+        if got is not None:
+            edge_ids, src_ids, mask = got
         else:
-            src_ids = np.zeros_like(edge_ids)
+            k = counts[node_ids]  # (nb,) true degrees, all <= cap
+            slots = np.arange(cap, dtype=np.int64)
+            mask = slots[None, :] < k[:, None]
+            eid = starts[node_ids][:, None] + slots[None, :]
+            edge_ids = np.where(mask, eid, 0).astype(np.int32)
+            if len(src):
+                src_ids = np.where(mask, src[np.minimum(eid, len(src) - 1)], 0).astype(np.int32)
+            else:
+                src_ids = np.zeros_like(edge_ids)
         buckets.append((node_ids, edge_ids, src_ids, mask))
         reassemble[node_ids] = offset + np.arange(nb, dtype=np.int32)
         offset += nb
@@ -291,12 +298,22 @@ def transpose_position_tables(
     is the difference between MXU-speed backward and serialized scatters on
     TPU (the round-1 train step was ~13x the forward because of these).
     """
+    from anemoi_models_tpu import native
+
     ids = np.asarray(ids).ravel()
-    pos = np.nonzero(ids >= 0)[0]
-    rows = ids[pos]
-    order = np.argsort(rows, kind="stable")
-    edge_index = np.stack([pos[order], rows[order]]).astype(np.int64)
-    return bucketed_neighbor_tables(edge_index, num_rows, min_cap=min_cap)
+    got = native.sort_positions_by_row(ids, num_rows)
+    if got is not None:  # counting sort in C++: O(P), no argsort
+        _, rows_sorted, pos_sorted = got
+    else:
+        pos = np.nonzero(ids >= 0)[0]
+        rows = ids[pos]
+        order = np.argsort(rows, kind="stable")
+        rows_sorted, pos_sorted = rows[order], pos[order]
+    return bucketed_neighbor_tables(
+        (np.asarray(pos_sorted, np.int64), np.asarray(rows_sorted, np.int64)),
+        num_rows,
+        min_cap=min_cap,
+    )
 
 
 def bucketed_transpose_bundle(

@@ -16,7 +16,15 @@ import numpy as np
 
 LOGGER = logging.getLogger(__name__)
 
-__all__ = ["available", "sort_edges_csr", "dense_tables", "kernel_plan_slots", "subdivide"]
+__all__ = [
+    "available",
+    "sort_edges_csr",
+    "dense_tables",
+    "fill_bucket_tables",
+    "kernel_plan_slots",
+    "sort_positions_by_row",
+    "subdivide",
+]
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
@@ -60,6 +68,12 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             i32p, i32p, f32p, i32p, u8p,
         ]
         lib.kernel_plan_slots.restype = None
+        lib.sort_positions_by_row.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p]
+        lib.sort_positions_by_row.restype = ctypes.c_int64
+        lib.fill_bucket_tables.argtypes = [
+            i32p, i64p, i32p, ctypes.c_int64, ctypes.c_int32, i32p, i32p, u8p,
+        ]
+        lib.fill_bucket_tables.restype = None
         return lib
     except Exception as exc:  # compiler/loader/symbol failure: numpy fallback
         LOGGER.warning("native graph kernels unavailable (%s); using numpy fallbacks", exc)
@@ -142,6 +156,39 @@ def kernel_plan_slots(
         slab_start, src_slab_idx, slot_mask, edge_ids, code,
     )
     return slab_start, src_slab_idx, slot_mask, edge_ids, code[:e]
+
+
+def sort_positions_by_row(ids: np.ndarray, num_rows: int):
+    """(counts, rows_sorted, pos_sorted) — live gather positions counting-
+    sorted by the row they read (stable); None if native unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    counts = np.empty(num_rows, dtype=np.int64)
+    rows_sorted = np.empty(max(len(ids), 1), dtype=np.int64)
+    pos_sorted = np.empty(max(len(ids), 1), dtype=np.int64)
+    n = int(lib.sort_positions_by_row(ids, len(ids), num_rows, counts, rows_sorted, pos_sorted))
+    return counts, rows_sorted[:n], pos_sorted[:n]
+
+
+def fill_bucket_tables(
+    src_sorted: np.ndarray, starts: np.ndarray, node_ids: np.ndarray, cap: int
+):
+    """(edge_ids, src_ids, mask) padded tables for one degree bucket;
+    None if native unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    src_sorted = np.ascontiguousarray(src_sorted, dtype=np.int32)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    node_ids = np.ascontiguousarray(node_ids, dtype=np.int32)
+    nb = len(node_ids)
+    edge_ids = np.empty((nb, cap), dtype=np.int32)
+    src_ids = np.empty((nb, cap), dtype=np.int32)
+    mask = np.empty((nb, cap), dtype=np.uint8)
+    lib.fill_bucket_tables(src_sorted, starts, node_ids, nb, cap, edge_ids, src_ids, mask)
+    return edge_ids, src_ids, mask.astype(bool)
 
 
 def subdivide(verts: np.ndarray, faces: np.ndarray):

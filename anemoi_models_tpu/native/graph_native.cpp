@@ -187,4 +187,55 @@ void kernel_plan_slots(const int64_t* src, const int64_t* dst,
   }
 }
 
+// Stable counting sort of live gather positions by the row they read.
+// ids: (P,) source row per position, -1 = dead/padded. Outputs:
+//   counts      (num_rows) int64 — live positions per row (in-degree)
+//   rows_sorted (>= n_live) int64 — row ids ascending
+//   pos_sorted  (>= n_live) int64 — positions, stable (ascending) per row
+// Returns n_live. This is the adjoint-table build's argsort+stack
+// (graphs/partition.py:transpose_position_tables) without the O(P log P).
+int64_t sort_positions_by_row(const int64_t* ids, int64_t P, int64_t num_rows,
+                              int64_t* counts, int64_t* rows_sorted,
+                              int64_t* pos_sorted) {
+  std::memset(counts, 0, sizeof(int64_t) * num_rows);
+  int64_t n_live = 0;
+  for (int64_t p = 0; p < P; ++p) {
+    int64_t r = ids[p];
+    if (r >= 0) { counts[r]++; n_live++; }
+  }
+  std::vector<int64_t> offset(num_rows + 1, 0);
+  for (int64_t r = 0; r < num_rows; ++r) offset[r + 1] = offset[r] + counts[r];
+  for (int64_t p = 0; p < P; ++p) {
+    int64_t r = ids[p];
+    if (r < 0) continue;
+    int64_t o = offset[r]++;
+    rows_sorted[o] = r;
+    pos_sorted[o] = p;
+  }
+  return n_live;
+}
+
+// Fill one degree-bucket's padded tables (partition.py:
+// bucketed_neighbor_tables inner loop): for each of `nb` destinations, copy
+// its CSR run of sorted sources into a (nb, cap) row. Padded slots are 0
+// with mask 0, matching the numpy layout exactly.
+void fill_bucket_tables(const int32_t* src_sorted, const int64_t* starts,
+                        const int32_t* node_ids, int64_t nb, int32_t cap,
+                        int32_t* edge_ids, int32_t* src_ids, uint8_t* mask) {
+  std::memset(edge_ids, 0, sizeof(int32_t) * nb * cap);
+  std::memset(src_ids, 0, sizeof(int32_t) * nb * cap);
+  std::memset(mask, 0, sizeof(uint8_t) * nb * cap);
+  for (int64_t i = 0; i < nb; ++i) {
+    int64_t d = node_ids[i];
+    int64_t lo = starts[d], hi = starts[d + 1];
+    int64_t row = i * cap;
+    for (int64_t e = lo; e < hi; ++e) {
+      int64_t off = row + (e - lo);
+      edge_ids[off] = (int32_t)e;
+      src_ids[off] = src_sorted[e];
+      mask[off] = 1;
+    }
+  }
+}
+
 }  // extern "C"

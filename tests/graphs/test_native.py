@@ -126,3 +126,73 @@ def test_kernel_plan_native_matches_numpy(monkeypatch):
             np.testing.assert_array_equal(a.outlier_src, b.outlier_src)
             np.testing.assert_array_equal(a.outlier_dst, b.outlier_dst)
             np.testing.assert_array_equal(a.outlier_edge_ids, b.outlier_edge_ids)
+
+
+def test_sort_positions_by_row_matches_numpy():
+    rng = np.random.RandomState(3)
+    ids = rng.randint(-1, 40, 10_000).astype(np.int64)
+    counts, rows_sorted, pos_sorted = native.sort_positions_by_row(ids, 40)
+
+    pos = np.nonzero(ids >= 0)[0]
+    rows = ids[pos]
+    order = np.argsort(rows, kind="stable")
+    np.testing.assert_array_equal(rows_sorted, rows[order])
+    np.testing.assert_array_equal(pos_sorted, pos[order])
+    np.testing.assert_array_equal(counts, np.bincount(rows, minlength=40))
+
+
+def test_fill_bucket_tables_matches_numpy():
+    rng = np.random.RandomState(4)
+    e, ns, nd = 6000, 300, 150
+    ei = np.stack([rng.randint(0, ns, e), rng.randint(0, nd, e)]).astype(np.int64)
+    order = np.lexsort((ei[0], ei[1]))
+    src, dst = ei[0][order], ei[1][order]
+    counts = np.bincount(dst, minlength=nd)
+    starts = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    cap = 64
+    node_ids = np.nonzero(counts <= cap)[0].astype(np.int32)
+
+    edge_ids, src_ids, mask = native.fill_bucket_tables(
+        src.astype(np.int32), starts, node_ids, cap
+    )
+    k = counts[node_ids]
+    slots = np.arange(cap, dtype=np.int64)
+    ref_mask = slots[None, :] < k[:, None]
+    eid = starts[node_ids][:, None] + slots[None, :]
+    np.testing.assert_array_equal(mask, ref_mask)
+    np.testing.assert_array_equal(edge_ids, np.where(ref_mask, eid, 0).astype(np.int32))
+    np.testing.assert_array_equal(
+        src_ids, np.where(ref_mask, src[np.minimum(eid, e - 1)], 0).astype(np.int32)
+    )
+
+
+def test_bucketed_tables_native_vs_numpy_fallback(monkeypatch):
+    """The full bucketed/transpose build is identical with natives disabled."""
+    from anemoi_models_tpu.graphs.partition import (
+        bucketed_neighbor_tables,
+        transpose_position_tables,
+    )
+
+    rng = np.random.RandomState(5)
+    e, ns, nd = 4000, 200, 120
+    ei = np.stack([rng.randint(0, ns, e), rng.randint(0, nd, e)]).astype(np.int64)
+    order = np.lexsort((ei[0], ei[1]))
+    ei = ei[:, order]
+    ids = np.where(rng.rand(3000) < 0.8, rng.randint(0, ns, 3000), -1).astype(np.int64)
+
+    b_nat, r_nat = bucketed_neighbor_tables(ei, nd)
+    t_nat, tr_nat = transpose_position_tables(ids, ns)
+
+    monkeypatch.setattr(native, "fill_bucket_tables", lambda *a, **k: None)
+    monkeypatch.setattr(native, "sort_positions_by_row", lambda *a, **k: None)
+    b_np, r_np = bucketed_neighbor_tables(ei, nd)
+    t_np, tr_np = transpose_position_tables(ids, ns)
+
+    for (got, ref) in ((b_nat, b_np), (t_nat, t_np)):
+        assert len(got) == len(ref)
+        for gb, rb in zip(got, ref):
+            for g, r in zip(gb, rb):
+                np.testing.assert_array_equal(g, r)
+    np.testing.assert_array_equal(r_nat, r_np)
+    np.testing.assert_array_equal(tr_nat, tr_np)

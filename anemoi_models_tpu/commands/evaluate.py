@@ -21,6 +21,8 @@ class Evaluate:
         parser.add_argument("--rollout", type=int, default=4, help="lead times to score")
         parser.add_argument("--start", type=int, default=None,
                             help="window start (default: dataset tail)")
+        parser.add_argument("--acc", action="store_true",
+                            help="add anomaly correlation vs dataset climatology")
         parser.add_argument("--json", action="store_true", help="print raw JSON scores")
 
     def run(self, args) -> int:
@@ -37,7 +39,9 @@ class Evaluate:
         if missing:
             raise SystemExit(f"dataset lacks model variables {missing}")
 
-        scores = evaluate_interface(iface, source, n_steps=args.rollout, start=args.start)
+        scores = evaluate_interface(
+            iface, source, n_steps=args.rollout, start=args.start, acc=args.acc
+        )
         if args.json:
             print(json.dumps({k: np.asarray(v).tolist() for k, v in scores.items()}))
             return 0
@@ -49,13 +53,15 @@ class Evaluate:
             )
             if i in set(np.asarray(iface.data_indices.internal_model.output.prognostic).tolist())
         ]
-        print(f"{'lead':>5}  {'rmse':>9}  {'mae':>9}  {'persist':>9}  {'skill':>7}")
+        acc_hdr = f"  {'acc':>7}" if args.acc else ""
+        print(f"{'lead':>5}  {'rmse':>9}  {'mae':>9}  {'persist':>9}  {'skill':>7}{acc_hdr}")
         for t in range(args.rollout):
+            acc_col = f"  {np.mean(scores['acc'][t]):>7.4f}" if args.acc else ""
             print(
                 f"{t + 1:>5}  {np.mean(scores['rmse'][t]):>9.5f}  "
                 f"{np.mean(scores['mae'][t]):>9.5f}  "
                 f"{np.mean(scores['persistence_rmse'][t]):>9.5f}  "
-                f"{np.mean(scores['skill_vs_persistence'][t]):>+7.3f}"
+                f"{np.mean(scores['skill_vs_persistence'][t]):>+7.3f}{acc_col}"
             )
         print(f"variables: {', '.join(prog)}")
         return 0

@@ -61,6 +61,7 @@ def evaluate_interface(
     n_steps: int = 4,
     start: Optional[int] = None,
     params: Any = None,
+    acc: bool = False,
 ) -> dict[str, np.ndarray]:
     """Score a checkpointed/built interface on a window of a `DataSource`.
 
@@ -68,21 +69,36 @@ def evaluate_interface(
     :func:`evaluate_rollout`'s model-vs-persistence scores, handling the
     dataset→graph grid permutation and preprocessing internally — the
     one-call eval for ``AnemoiModelInterface.from_checkpoint`` artifacts.
+    ``acc=True`` adds anomaly correlation against a climatology estimated
+    from the dataset (time mean over up to 64 evenly spaced steps).
     """
     indices = iface.data_indices
     graph = iface.graph_data
     multi_step = iface.multi_step
     if start is None:
         start = len(source) - (multi_step + n_steps)
-    raw = source.window(start, multi_step + n_steps)[None]
-    src_idx = graph["data"].attrs.get("source_index")
-    if src_idx is not None:
-        raw = raw[:, :, np.ascontiguousarray(src_idx[:, 0]), :]
-    pre = iface.pre_processors(jnp.asarray(raw), in_place=False)
+
+    def pre_window(t0: int, length: int) -> jnp.ndarray:
+        raw = source.window(t0, length)[None]
+        src_idx = graph["data"].attrs.get("source_index")
+        if src_idx is not None:
+            raw = raw[:, :, np.ascontiguousarray(src_idx[:, 0]), :]
+        return iface.pre_processors(jnp.asarray(raw), in_place=False)
+
+    pre = pre_window(start, multi_step + n_steps)
     data_in = np.asarray(indices.internal_data.input.full)
     x0 = pre[:, :multi_step, None][..., data_in]
     truth_in = jnp.moveaxis(pre[:, multi_step:, None][..., data_in], 1, 0)
     area = jnp.asarray(graph["data"].attrs["area_weight"][:, 0])
+
+    climatology = None
+    if acc:
+        # time-mean state in normalized space, at prognostic-input width
+        sample = np.unique(np.linspace(0, len(source) - 1, 64).astype(int))
+        mean = sum(np.asarray(pre_window(int(t), 1)[0, 0]) for t in sample) / len(sample)
+        prog_in = np.asarray(indices.internal_model.input.prognostic)
+        climatology = jnp.asarray(mean[:, data_in][:, prog_in])
+
     return evaluate_rollout(
         iface.model,
         indices,
@@ -90,6 +106,7 @@ def evaluate_interface(
         x0,
         truth_in,
         node_weights=area,
+        climatology=climatology,
     )
 
 
@@ -100,14 +117,17 @@ def evaluate_rollout(
     x0: jnp.ndarray,
     truth_inputs: jnp.ndarray,
     node_weights: Optional[jnp.ndarray] = None,
+    climatology: Optional[jnp.ndarray] = None,
 ) -> dict[str, np.ndarray]:
     """Roll the model forward against truth and score it vs persistence.
 
     - ``x0``: (batch, multi_step, ensemble, grid, n_in) initial window.
     - ``truth_inputs``: (steps, batch, ensemble, grid, n_in) future states at
       the internal-model *input* width (forcings are read from it).
-    Returns rmse/mae per (step, prognostic var) for the model and for the
-    persistence forecast.
+    - ``climatology``: optional (grid, n_prognostic) reference state for
+      anomaly correlation (same normalized space as the inputs).
+    Returns rmse/mae (and acc when climatology is given) per
+    (step, prognostic var) for the model and for the persistence forecast.
     """
     n_steps = truth_inputs.shape[0]
     prog_in = np.asarray(data_indices.internal_model.input.prognostic)
@@ -119,12 +139,16 @@ def evaluate_rollout(
     _, preds = rollout(params, x0, forcings)
 
     truth_prog = truth_inputs[..., prog_in]
-    model_scores = rollout_scores(preds[..., prog_out], truth_prog, node_weights)
+    model_scores = rollout_scores(preds[..., prog_out], truth_prog, node_weights, climatology)
     persistence = jnp.broadcast_to(x0[:, -1][None][..., prog_in], truth_prog.shape)
-    persist_scores = rollout_scores(persistence, truth_prog, node_weights)
-    return {
+    persist_scores = rollout_scores(persistence, truth_prog, node_weights, climatology)
+    out = {
         "rmse": model_scores["rmse"],
         "mae": model_scores["mae"],
         "persistence_rmse": persist_scores["rmse"],
         "skill_vs_persistence": 1.0 - model_scores["rmse"] / np.maximum(persist_scores["rmse"], 1e-12),
     }
+    if climatology is not None:
+        out["acc"] = model_scores["acc"]
+        out["persistence_acc"] = persist_scores["acc"]
+    return out

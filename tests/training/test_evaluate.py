@@ -39,3 +39,28 @@ def test_evaluate_rollout_shapes_and_skill(small_graph):
     assert scores["persistence_rmse"].shape == (steps, n_prog)
     assert np.isfinite(scores["rmse"]).all()
     assert np.isfinite(scores["skill_vs_persistence"]).all()
+
+
+def test_evaluate_interface_acc(tmp_path):
+    """ACC against the dataset climatology: perfect forecast -> acc == 1."""
+    import numpy as np
+
+    from anemoi_models_tpu.graphs import latlon_grid_nodes
+    from anemoi_models_tpu.training import evaluate_interface, train_run
+    from anemoi_models_tpu.training.dataset import SyntheticSource
+
+    coords = latlon_grid_nodes(8).coords
+    source = SyntheticSource(coords, num_vars=4, num_steps=48, seed=2)
+    result = train_run(
+        source, forcing=("var_0",), steps=2, peak_lr=1e-3,
+        mesh_refinements=1,
+        model_kwargs=dict(num_channels=16, num_layers=2, num_heads=2, num_chunks=1,
+                          trainable_hidden=2, trainable_edges=2),
+        batch_size=2, seed=0, log=lambda s: None,
+    )
+    scores = evaluate_interface(result["interface"], source, n_steps=2,
+                                params=result["state"].params, acc=True)
+    assert scores["acc"].shape == scores["rmse"].shape
+    assert np.all(scores["acc"] <= 1.0 + 1e-6)
+    # persistence of a smooth field correlates strongly with truth anomalies
+    assert np.isfinite(scores["persistence_acc"]).all()

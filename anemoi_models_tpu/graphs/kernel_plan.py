@@ -32,6 +32,7 @@ __all__ = [
     "build_halo_gnn_tables",
     "build_halo_kernel_plans",
     "edge_set_kernel_plan",
+    "plan_cost",
 ]
 
 
@@ -75,6 +76,31 @@ class EdgeKernelPlan:
         """Fraction of edges handled in-kernel."""
         total = int(self.slot_mask.sum()) + len(self.outlier_src)
         return float(self.slot_mask.sum()) / max(total, 1)
+
+
+def plan_cost(plan: "EdgeKernelPlan") -> float:
+    """Relative on-chip cost of running a plan: slot one-hot gather work
+    (∝ slot rows × slab width) plus the outlier segment path.
+
+    The outlier weight κ = 936 slot-units/edge was fitted from the measured
+    O96 slab sweep (PERF.md: 384 → 1,094k, 256 → 1,062k, 512 → 970k pts/s,
+    same session): solve t = a·R·W + b·E_out + c for the three widths and
+    take κ = b/a. The model reproduces the measured ordering; the
+    coverage-within-1% rule it replaces picked 512 there (-11%).
+    """
+    rows = plan.padded_dst * plan.cap
+    return float(rows) * plan.slab_width + 936.0 * len(plan.outlier_src)
+
+
+def _select_plan(candidates: dict) -> "EdgeKernelPlan":
+    """Auto-select among per-width plans: argmin modeled cost, or best
+    coverage (smallest width within 1%) with ANEMOI_PLAN_SELECT=coverage."""
+    import os
+
+    if os.environ.get("ANEMOI_PLAN_SELECT", "cost") == "coverage":
+        best = max(p.coverage for p in candidates.values())
+        return next(p for p in candidates.values() if p.coverage >= best - 0.01)
+    return min(candidates.values(), key=plan_cost)
 
 
 def _best_window(sorted_src: np.ndarray, num_src: int, width: int) -> int:
@@ -388,11 +414,15 @@ def build_halo_kernel_plans(
     if slab_width:
         plans = shard_plans(slab_width)
     else:
-        # per-shard subgraphs are small: narrow slabs matter most here
+        import os
+
         candidates = {w: shard_plans(w) for w in (256, 384, 512, 768, 1024, 1536)}
-        mean_cov = {w: float(np.mean([p.coverage for p in ps])) for w, ps in candidates.items()}
-        best = max(mean_cov.values())
-        width = next(w for w in candidates if mean_cov[w] >= best - 0.01)
+        if os.environ.get("ANEMOI_PLAN_SELECT", "cost") == "coverage":
+            mean_cov = {w: float(np.mean([p.coverage for p in ps])) for w, ps in candidates.items()}
+            best = max(mean_cov.values())
+            width = next(w for w in candidates if mean_cov[w] >= best - 0.01)
+        else:  # summed modeled cost across shards (see plan_cost)
+            width = min(candidates, key=lambda w: sum(plan_cost(p) for p in candidates[w]))
         plans = candidates[width]
 
     nblk = plans[0].num_blocks
@@ -554,9 +584,10 @@ def edge_set_kernel_plan(
     """Cached :func:`build_edge_kernel_plan` for an EdgeSet (memo lives on
     the instance, like the neighbor-table caches).
 
-    ``slab_width=0`` auto-selects: RCM bandwidth grows ~sqrt(num_src), so the
-    smallest width within 1% of the best coverage wins (512 for the
-    refinement-5 mesh, 768 at refinement 6 — both measured).
+    ``slab_width=0`` auto-selects by modeled cost (:func:`plan_cost`,
+    fitted to the measured O96 slab sweep — picks 384 at refinement 5,
+    matching the sweep's best). ``ANEMOI_PLAN_SELECT=coverage`` restores
+    the coverage-driven rule; ``ANEMOI_PLAN_SLAB_WIDTH`` pins a width.
     """
     from anemoi_models_tpu.graphs.partition import _edge_set_cache
 
@@ -569,14 +600,12 @@ def edge_set_kernel_plan(
                 block_nodes=block_nodes, cap=cap, slab_width=slab_width,
             )
         else:
-            candidates = [
-                build_edge_kernel_plan(
+            plan = _select_plan({
+                w: build_edge_kernel_plan(
                     edge_set.edge_index, num_dst, num_src,
                     block_nodes=block_nodes, cap=cap, slab_width=w,
                 )
                 for w in (256, 384, 512, 768, 1024, 1536)
-            ]
-            best = max(p.coverage for p in candidates)
-            plan = next(p for p in candidates if p.coverage >= best - 0.01)
+            })
         cache[key] = plan
     return cache[key]

@@ -105,3 +105,30 @@ def test_out_slot_of_pos_inverts_dst_table(setup):
         np.testing.assert_array_equal(sp.out_slot_of_pos[s][pos], rr * md + jj)
         dead = sp.out_mask[s] <= 0
         assert np.all(sp.out_slot_of_pos[s][dead] == -1)
+
+
+def test_cost_model_slab_selection(monkeypatch):
+    """Auto-select picks by modeled cost (384 at r5-class graphs, the
+    measured sweep's best); ANEMOI_PLAN_SELECT=coverage restores the old
+    rule (which picks a wider slab with marginally better coverage)."""
+    from anemoi_models_tpu.graphs import build_enc_proc_dec_graph
+    from anemoi_models_tpu.graphs.kernel_plan import edge_set_kernel_plan, plan_cost
+
+    g = build_enc_proc_dec_graph(grid_lat=24, mesh_refinements=4)
+    es = g[("hidden", "to", "hidden")]
+    n = g["hidden"].num_nodes
+
+    plan_cost_sel = edge_set_kernel_plan(es, n, n)
+    monkeypatch.setenv("ANEMOI_PLAN_SELECT", "coverage")
+    # separate cache key space: change cap to force a rebuild
+    plan_cov = edge_set_kernel_plan(es, n, n, cap=16)
+    assert plan_cov.coverage >= plan_cost_sel.coverage - 0.01
+    # the cost model never picks a strictly costlier plan
+    widths = (256, 384, 512, 768, 1024, 1536)
+    from anemoi_models_tpu.graphs.kernel_plan import build_edge_kernel_plan
+
+    costs = {
+        w: plan_cost(build_edge_kernel_plan(es.edge_index, n, n, slab_width=w))
+        for w in widths
+    }
+    assert plan_cost(plan_cost_sel) == min(costs.values())

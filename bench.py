@@ -87,7 +87,47 @@ def _measure_model(model, x, n_out, mode: str, iters: int, batch: int) -> float:
     return batch * x.shape[3] * iters / dt
 
 
+def _probe_devices(budget_s: int) -> bool:
+    """Check the backend answers at all, in a killable subprocess.
+
+    ``jax.devices()`` on a wedged/down tunneled runtime blocks forever inside
+    native code where no in-process alarm can interrupt it — observed
+    2026-08-18 (devices() hung >9 min repeatedly). A dead probe turns an
+    infinite driver hang into an explicit error line.
+    """
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=budget_s, check=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
 def main() -> None:
+    probe_budget = int(os.environ.get("BENCH_PROBE_BUDGET_S", "900"))
+    if os.environ.get("BENCH_GRAPH_IMPL") is None and probe_budget > 0:
+        # probe once at the top level only (pinned subprocesses inherit a
+        # working backend or die under their own timeout)
+        for attempt in range(2):
+            if _probe_devices(probe_budget):
+                break
+            print(f"bench: device probe {attempt + 1} timed out after "
+                  f"{probe_budget}s", file=sys.stderr, flush=True)
+        else:
+            print(json.dumps({
+                "metric": "enc-proc-dec fwd grid-points/s/chip (UNMEASURED: "
+                          "device backend unreachable — jax.devices() hung)",
+                "value": 0.0,
+                "unit": "grid-points/s",
+                "vs_baseline": 0.0,
+                "error": "device backend unreachable",
+            }))
+            sys.exit(1)
+
     import jax
 
     from __graft_entry__ import _build
@@ -185,7 +225,8 @@ def main() -> None:
             line = [l for l in sub.stdout.splitlines() if l.startswith("{")][-1]
             return json.loads(line)
 
-        best = run_pinned("dense")
+        dense_budget = int(os.environ.get("BENCH_DENSE_BUDGET_S", "3600"))
+        best = run_pinned("dense", timeout=dense_budget)
         print(f"bench: dense path {best['value']:.0f} pts/s; trying pallas...",
               file=sys.stderr, flush=True)
         try:

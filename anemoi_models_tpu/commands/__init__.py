@@ -24,7 +24,7 @@ def register_command(name: str):
     return deco
 
 
-from anemoi_models_tpu.commands import bench, evaluate, hello, info, plan, train, train_demo  # noqa: E402,F401
+from anemoi_models_tpu.commands import bench, evaluate, hello, info, plan, predict, train, train_demo  # noqa: E402,F401
 
 
 def main(argv=None) -> int:

@@ -1,0 +1,97 @@
+"""``predict`` command: run a forecast from a checkpoint and save it.
+
+The anemoi-inference surface of this framework: initial conditions come
+from a dataset window, forcings for future lead times are read from the
+dataset (as in hindcast/verification runs), the rollout runs as one
+compiled program, and the post-processed (physical-space) forecast is
+written to an ``.npz`` or to a memmap dataset directory that
+``open_dataset`` can read back — forecasts compose with every other tool
+here (``evaluate``, the loader, ...).
+"""
+
+from __future__ import annotations
+
+from anemoi_models_tpu.commands import register_command
+
+
+@register_command("predict")
+class Predict:
+    """Roll a forecast from a checkpoint; write .npz or a dataset dir."""
+
+    def add_arguments(self, parser) -> None:
+        parser.add_argument("checkpoint", help="checkpoint directory")
+        parser.add_argument("dataset", help="dataset supplying ICs and future forcings")
+        parser.add_argument("--steps", type=int, default=4, help="lead times to forecast")
+        parser.add_argument("--start", type=int, default=None,
+                            help="initial-window start (default: dataset tail)")
+        parser.add_argument("--output", default="forecast.npz",
+                            help=".npz path, or a directory for memmap-dataset output")
+
+    def run(self, args) -> int:
+        import os
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from anemoi_models_tpu.interface import AnemoiModelInterface
+        from anemoi_models_tpu.training import open_dataset
+
+        iface = AnemoiModelInterface.from_checkpoint(args.checkpoint)
+        source = open_dataset(args.dataset)
+        indices = iface.data_indices
+        multi_step = iface.multi_step
+        start = args.start
+        if start is None:
+            start = len(source) - (multi_step + args.steps)
+        if start < 0 or start + multi_step + args.steps > len(source):
+            raise SystemExit(
+                f"window [{start}, {start + multi_step + args.steps}) outside the "
+                f"dataset's {len(source)} steps (forcings are read from the dataset)"
+            )
+
+        raw = source.window(start, multi_step + args.steps)[None]
+        src_idx = iface.graph_data["data"].attrs.get("source_index")
+        perm = None if src_idx is None else np.ascontiguousarray(src_idx[:, 0])
+        if perm is not None:
+            raw = raw[:, :, perm, :]
+
+        pre = iface.pre_processors(jnp.asarray(raw), in_place=False)
+        data_in = np.asarray(indices.internal_data.input.full)
+        forcing_in = np.asarray(indices.internal_model.input.forcing)
+        batch = pre[:, :multi_step][..., data_in]
+        forcings = None
+        if forcing_in.size:
+            future = jnp.moveaxis(pre[:, multi_step:, None][..., data_in], 1, 0)
+            forcings = future[..., forcing_in]
+
+        # physical-space forecast: (steps, batch, ensemble, grid, n_out)
+        preds = iface.predict_rollout(batch, args.steps, forcings=forcings)
+        fc = np.asarray(preds[:, 0, 0], np.float32)  # (steps, grid, n_out)
+        if perm is not None:  # back to the dataset's own row order
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(len(perm), dtype=perm.dtype)
+            fc = fc[:, inv, :]
+
+        out_names = [
+            n for n, _ in sorted(
+                indices.internal_model.output.name_to_index.items(), key=lambda kv: kv[1]
+            )
+        ]
+        if args.output.endswith(".npz"):
+            np.savez_compressed(
+                args.output, forecast=fc, variables=np.asarray(out_names),
+                start=start, lead_steps=np.arange(1, args.steps + 1),
+            )
+        else:
+            from anemoi_models_tpu.training.dataset import save_memmap_dataset
+
+            save_memmap_dataset(
+                args.output, fc, out_names, np.asarray(source.coords),
+                statistics={
+                    k: np.asarray(v)[[source.name_to_index[n] for n in out_names]]
+                    for k, v in source.statistics.items()
+                },
+            )
+        print(f"forecast: {args.steps} steps x {fc.shape[1]} points x "
+              f"{len(out_names)} vars -> {args.output}")
+        return 0

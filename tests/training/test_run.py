@@ -180,3 +180,34 @@ def test_train_run_under_mesh(source):
     )
     assert result["steps_done"] == 3
     assert np.isfinite(result["losses"]).all()
+
+
+def test_predict_cli(source, tmp_path, capsys):
+    """predict writes a physical-space forecast that reopens as a dataset."""
+    from anemoi_models_tpu.commands import main
+    from anemoi_models_tpu.training import open_dataset
+    from anemoi_models_tpu.training.dataset import save_memmap_dataset
+
+    result = train_run(
+        source, forcing=("var_0",), steps=2, peak_lr=1e-3,
+        checkpoint_dir=str(tmp_path / "ck"), seed=0, log=lambda s: None, **TINY,
+    )
+    data = source.window(0, len(source))
+    save_memmap_dataset(str(tmp_path / "ds"), data, source.variables, source.coords,
+                        statistics=source.statistics)
+
+    out_dir = str(tmp_path / "fc")
+    rc = main(["predict", result["checkpoint"], str(tmp_path / "ds"),
+               "--steps", "2", "--output", out_dir])
+    assert rc == 0
+    fc = open_dataset(out_dir)
+    assert fc.variables == ["var_1", "var_2", "var_3"]
+    w = fc.window(0, 2)
+    assert w.shape == (2, len(source.coords), 3) and np.isfinite(w).all()
+
+    out_npz = str(tmp_path / "fc.npz")
+    rc = main(["predict", result["checkpoint"], str(tmp_path / "ds"),
+               "--steps", "2", "--output", out_npz])
+    assert rc == 0
+    z = np.load(out_npz)
+    np.testing.assert_allclose(z["forecast"], w, atol=1e-5)

@@ -21,6 +21,7 @@ __all__ = [
     "edge_set_neighbor_table",
     "bucketed_neighbor_tables",
     "transpose_position_tables",
+    "transpose_slot_tables",
     "edge_set_bucketed_tables",
     "bucketed_transpose_bundle",
     "edge_set_gather_tables",
@@ -215,7 +216,7 @@ def partition_1hop(edge_index: np.ndarray, num_nodes: int, num_shards: int) -> H
 
 
 def bucketed_neighbor_tables(
-    edge_index: np.ndarray, num_dst: int, min_cap: int = 4
+    edge_index: np.ndarray, num_dst: int, min_cap: int = 4, assume_sorted: bool = False
 ) -> tuple[list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]], np.ndarray]:
     """Dense neighbor tables bucketed by in-degree.
 
@@ -230,7 +231,8 @@ def bucketed_neighbor_tables(
     Requires CSR-sorted edges. Returns ``(buckets, reassemble)``.
     """
     src, dst = edge_index[0], edge_index[1]
-    assert np.all(np.diff(dst) >= 0), "edge_index must be CSR-sorted by destination"
+    if not assume_sorted:  # internally-constructed inputs skip the O(E) scan
+        assert np.all(np.diff(dst) >= 0), "edge_index must be CSR-sorted by destination"
     counts = np.bincount(dst, minlength=num_dst)
     starts = np.zeros(num_dst + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
@@ -313,6 +315,27 @@ def transpose_position_tables(
         (np.asarray(pos_sorted, np.int64), np.asarray(rows_sorted, np.int64)),
         num_rows,
         min_cap=min_cap,
+        assume_sorted=True,
+    )
+
+
+def transpose_slot_tables(
+    src_ids: np.ndarray, mask: np.ndarray, num_rows: int, min_cap: int = 4
+) -> tuple[list, np.ndarray]:
+    """:func:`transpose_position_tables` over a padded (n, cap) slot table
+    with its validity mask — the forward bucket layout — without
+    materializing the flat where(mask, ids, -1) vector."""
+    from anemoi_models_tpu import native
+
+    got = native.sort_positions_by_row_masked(src_ids, mask, num_rows)
+    if got is None:
+        flat = np.where(
+            np.asarray(mask).ravel(), np.asarray(src_ids).ravel().astype(np.int64), -1
+        )
+        return transpose_position_tables(flat, num_rows, min_cap=min_cap)
+    _, rows_sorted, pos_sorted = got
+    return bucketed_neighbor_tables(
+        (pos_sorted, rows_sorted), num_rows, min_cap=min_cap, assume_sorted=True
     )
 
 
@@ -338,8 +361,7 @@ def bucketed_transpose_bundle(
     per_bucket = []
     for node_ids, edge_ids, src_ids, mask in buckets:
         flat_mask = mask.ravel()
-        ids_src = np.where(flat_mask, src_ids.ravel().astype(np.int64), -1)
-        t_src = transpose_position_tables(ids_src, num_src)
+        t_src = transpose_slot_tables(src_ids, mask, num_src)
         pos_of_edge = np.full(num_edges, -1, dtype=np.int32)
         pos_of_edge[edge_ids.ravel()[flat_mask]] = np.nonzero(flat_mask)[0].astype(np.int32)
         pos_of_node = np.full(num_dst, -1, dtype=np.int32)

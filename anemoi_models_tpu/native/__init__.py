@@ -23,6 +23,7 @@ __all__ = [
     "fill_bucket_tables",
     "kernel_plan_slots",
     "sort_positions_by_row",
+    "sort_positions_by_row_masked",
     "subdivide",
 ]
 
@@ -70,6 +71,10 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         lib.kernel_plan_slots.restype = None
         lib.sort_positions_by_row.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p]
         lib.sort_positions_by_row.restype = ctypes.c_int64
+        lib.sort_positions_by_row_masked.argtypes = [
+            i32p, u8p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p,
+        ]
+        lib.sort_positions_by_row_masked.restype = ctypes.c_int64
         lib.fill_bucket_tables.argtypes = [
             i32p, i64p, i32p, ctypes.c_int64, ctypes.c_int32, i32p, i32p, u8p,
         ]
@@ -169,6 +174,25 @@ def sort_positions_by_row(ids: np.ndarray, num_rows: int):
     rows_sorted = np.empty(max(len(ids), 1), dtype=np.int64)
     pos_sorted = np.empty(max(len(ids), 1), dtype=np.int64)
     n = int(lib.sort_positions_by_row(ids, len(ids), num_rows, counts, rows_sorted, pos_sorted))
+    return counts, rows_sorted[:n], pos_sorted[:n]
+
+
+def sort_positions_by_row_masked(ids: np.ndarray, mask: np.ndarray, num_rows: int):
+    """As :func:`sort_positions_by_row`, but over an int32 id table with a
+    separate mask (the forward bucket layout) — avoids materializing the
+    (P,) int64 where(mask, ids, -1) vector. None if native unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(ids, dtype=np.int32).ravel()
+    mask = np.ascontiguousarray(mask).ravel()
+    mask = mask.view(np.uint8) if mask.dtype == np.bool_ else mask.astype(np.uint8)
+    counts = np.empty(num_rows, dtype=np.int64)
+    rows_sorted = np.empty(max(len(ids), 1), dtype=np.int64)
+    pos_sorted = np.empty(max(len(ids), 1), dtype=np.int64)
+    n = int(lib.sort_positions_by_row_masked(
+        ids, mask, len(ids), num_rows, counts, rows_sorted, pos_sorted
+    ))
     return counts, rows_sorted[:n], pos_sorted[:n]
 
 

@@ -215,6 +215,29 @@ int64_t sort_positions_by_row(const int64_t* ids, int64_t P, int64_t num_rows,
   return n_live;
 }
 
+// Masked variant: positions are the row-major slots of an (n, cap) int32
+// src-id table with a uint8 mask — the forward bucket layout — so the
+// caller skips materializing a (P,) int64 where(mask, src, -1) vector.
+int64_t sort_positions_by_row_masked(const int32_t* ids, const uint8_t* mask,
+                                     int64_t P, int64_t num_rows,
+                                     int64_t* counts, int64_t* rows_sorted,
+                                     int64_t* pos_sorted) {
+  std::memset(counts, 0, sizeof(int64_t) * num_rows);
+  int64_t n_live = 0;
+  for (int64_t p = 0; p < P; ++p) {
+    if (mask[p]) { counts[ids[p]]++; n_live++; }
+  }
+  std::vector<int64_t> offset(num_rows + 1, 0);
+  for (int64_t r = 0; r < num_rows; ++r) offset[r + 1] = offset[r] + counts[r];
+  for (int64_t p = 0; p < P; ++p) {
+    if (!mask[p]) continue;
+    int64_t o = offset[ids[p]]++;
+    rows_sorted[o] = ids[p];
+    pos_sorted[o] = p;
+  }
+  return n_live;
+}
+
 // Fill one degree-bucket's padded tables (partition.py:
 // bucketed_neighbor_tables inner loop): for each of `nb` destinations, copy
 // its CSR run of sorted sources into a (nb, cap) row. Padded slots are 0

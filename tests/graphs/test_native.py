@@ -186,6 +186,7 @@ def test_bucketed_tables_native_vs_numpy_fallback(monkeypatch):
 
     monkeypatch.setattr(native, "fill_bucket_tables", lambda *a, **k: None)
     monkeypatch.setattr(native, "sort_positions_by_row", lambda *a, **k: None)
+    monkeypatch.setattr(native, "sort_positions_by_row_masked", lambda *a, **k: None)
     b_np, r_np = bucketed_neighbor_tables(ei, nd)
     t_np, tr_np = transpose_position_tables(ids, ns)
 
@@ -196,3 +197,22 @@ def test_bucketed_tables_native_vs_numpy_fallback(monkeypatch):
                 np.testing.assert_array_equal(g, r)
     np.testing.assert_array_equal(r_nat, r_np)
     np.testing.assert_array_equal(tr_nat, tr_np)
+
+
+def test_transpose_slot_tables_matches_flat():
+    from anemoi_models_tpu.graphs.partition import (
+        transpose_position_tables,
+        transpose_slot_tables,
+    )
+
+    rng = np.random.RandomState(6)
+    src_ids = rng.randint(0, 80, (50, 16)).astype(np.int32)
+    mask = rng.rand(50, 16) < 0.7
+    flat = np.where(mask.ravel(), src_ids.ravel().astype(np.int64), -1)
+    got_b, got_r = transpose_slot_tables(src_ids, mask, 80)
+    ref_b, ref_r = transpose_position_tables(flat, 80)
+    assert len(got_b) == len(ref_b)
+    for gb, rb in zip(got_b, ref_b):
+        for g, r in zip(gb, rb):
+            np.testing.assert_array_equal(g, r)
+    np.testing.assert_array_equal(got_r, ref_r)

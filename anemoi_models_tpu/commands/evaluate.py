@@ -32,12 +32,11 @@ class Evaluate:
 
         from anemoi_models_tpu.interface import AnemoiModelInterface
         from anemoi_models_tpu.training import evaluate_interface, open_dataset
+        from anemoi_models_tpu.training.dataset import check_source_layout
 
         iface = AnemoiModelInterface.from_checkpoint(args.checkpoint)
         source = open_dataset(args.dataset)
-        missing = [v for v in iface.data_indices.name_to_index if v not in source.variables]
-        if missing:
-            raise SystemExit(f"dataset lacks model variables {missing}")
+        check_source_layout(iface, source)
 
         scores = evaluate_interface(
             iface, source, n_steps=args.rollout, start=args.start, acc=args.acc
@@ -46,12 +45,13 @@ class Evaluate:
             print(json.dumps({k: np.asarray(v).tolist() for k, v in scores.items()}))
             return 0
 
+        prog_set = set(np.asarray(iface.data_indices.internal_model.output.prognostic).tolist())
         prog = [
             n for n, i in sorted(
                 iface.data_indices.internal_model.output.name_to_index.items(),
                 key=lambda kv: kv[1],
             )
-            if i in set(np.asarray(iface.data_indices.internal_model.output.prognostic).tolist())
+            if i in prog_set
         ]
         acc_hdr = f"  {'acc':>7}" if args.acc else ""
         print(f"{'lead':>5}  {'rmse':>9}  {'mae':>9}  {'persist':>9}  {'skill':>7}{acc_hdr}")

@@ -36,8 +36,11 @@ class Predict:
         from anemoi_models_tpu.interface import AnemoiModelInterface
         from anemoi_models_tpu.training import open_dataset
 
+        from anemoi_models_tpu.training.dataset import check_source_layout
+
         iface = AnemoiModelInterface.from_checkpoint(args.checkpoint)
         source = open_dataset(args.dataset)
+        check_source_layout(iface, source)
         indices = iface.data_indices
         multi_step = iface.multi_step
         start = args.start
@@ -50,18 +53,23 @@ class Predict:
             )
 
         raw = source.window(start, multi_step + args.steps)[None]
-        src_idx = iface.graph_data["data"].attrs.get("source_index")
+        data_node = iface.config.graph.get("data", "data")
+        src_idx = iface.graph_data[data_node].attrs.get("source_index")
         perm = None if src_idx is None else np.ascontiguousarray(src_idx[:, 0])
         if perm is not None:
             raw = raw[:, :, perm, :]
 
-        pre = iface.pre_processors(jnp.asarray(raw), in_place=False)
-        data_in = np.asarray(indices.internal_data.input.full)
+        # predict_rollout preprocesses internally: hand it the RAW window at
+        # the model-input (inference) width; only the forcings contract asks
+        # for preprocessed values
+        data_in = np.asarray(indices.data.input.full)
         forcing_in = np.asarray(indices.internal_model.input.forcing)
-        batch = pre[:, :multi_step][..., data_in]
+        batch = jnp.asarray(raw[:, :multi_step][..., data_in])
         forcings = None
         if forcing_in.size:
-            future = jnp.moveaxis(pre[:, multi_step:, None][..., data_in], 1, 0)
+            pre = iface.pre_processors(jnp.asarray(raw), in_place=False)
+            internal_in = np.asarray(indices.internal_data.input.full)
+            future = jnp.moveaxis(pre[:, multi_step:, None][..., internal_in], 1, 0)
             forcings = future[..., forcing_in]
 
         # physical-space forecast: (steps, batch, ensemble, grid, n_out)

@@ -165,13 +165,19 @@ class HeteroGraph:
 
     def to_arrays(self) -> dict[str, np.ndarray]:
         """Flatten to ``{key: array}``; inverse of :meth:`from_arrays`."""
+        names = list(self.nodes) + [p for k in self.edges for p in k] + [
+            a for ns in self.nodes.values() for a in ns.attrs
+        ] + [a for es in self.edges.values() for a in es.attrs]
+        bad = [n for n in names if "::" in str(n)]
+        if bad:
+            raise ValueError(f"graph names may not contain '::' (key separator): {bad}")
         out: dict[str, np.ndarray] = {}
         for name, ns in self.nodes.items():
             out[f"node::{name}::coords"] = ns.coords
             for a, v in ns.attrs.items():
                 out[f"node::{name}::attr::{a}"] = v
-        for (src, _, dst), es in self.edges.items():
-            base = f"edge::{src}::{dst}"
+        for (src, rel, dst), es in self.edges.items():
+            base = f"edge::{src}::{rel}::{dst}"
             out[f"{base}::edge_index"] = es.edge_index
             if es.dst_ptr is not None:
                 out[f"{base}::dst_ptr"] = es.dst_ptr
@@ -194,14 +200,14 @@ class HeteroGraph:
                 else:
                     ns.attrs[parts[3]] = np.asarray(value)
             elif parts[0] == "edge":
-                ekey = (parts[1], "to", parts[2])
+                ekey = (parts[1], parts[2], parts[3])
                 es = edges.setdefault(ekey, EdgeSet(edge_index=np.empty((2, 0), np.int32)))
-                if parts[3] == "edge_index":
+                if parts[4] == "edge_index":
                     es.edge_index = np.asarray(value)
-                elif parts[3] == "dst_ptr":
+                elif parts[4] == "dst_ptr":
                     es.dst_ptr = np.asarray(value)
                 else:
-                    es.attrs[parts[4]] = np.asarray(value)
+                    es.attrs[parts[5]] = np.asarray(value)
         return cls(nodes=nodes, edges=edges)
 
     def save(self, path: str) -> str:

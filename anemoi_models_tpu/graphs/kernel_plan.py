@@ -589,10 +589,15 @@ def edge_set_kernel_plan(
     matching the sweep's best). ``ANEMOI_PLAN_SELECT=coverage`` restores
     the coverage-driven rule; ``ANEMOI_PLAN_SLAB_WIDTH`` pins a width.
     """
+    import os
+
     from anemoi_models_tpu.graphs.partition import _edge_set_cache
 
     cache = _edge_set_cache(edge_set)
-    key = ("kernel_plan", num_dst, num_src, block_nodes, cap, slab_width)
+    # auto-selection (width 0) depends on the selection mode: keep plans
+    # chosen under different ANEMOI_PLAN_SELECT values apart in the memo
+    mode = os.environ.get("ANEMOI_PLAN_SELECT", "cost") if not slab_width else ""
+    key = ("kernel_plan", num_dst, num_src, block_nodes, cap, slab_width, mode)
     if key not in cache:
         if slab_width:
             plan = build_edge_kernel_plan(

@@ -213,14 +213,27 @@ class AnemoiModelInterface:
             if k.startswith("graph::")
         }
         if graph_data is None:
-            if not graph_arrays:
-                raise ValueError(
-                    f"checkpoint {path!r} was saved with include_graph=False; "
-                    "pass graph_data= (e.g. HeteroGraph.load(...))"
-                )
             from anemoi_models_tpu.graphs import HeteroGraph
 
-            graph_data = HeteroGraph.from_arrays(graph_arrays)
+            if graph_arrays:
+                graph_data = HeteroGraph.from_arrays(graph_arrays)
+            else:
+                # graph-once layout: training runs write the (immutable)
+                # graph as a sibling graph.npz instead of re-bundling it
+                # into every periodic checkpoint
+                import os
+
+                for cand in (os.path.join(path, "graph.npz"),
+                             os.path.join(os.path.dirname(os.path.abspath(path)), "graph.npz")):
+                    if os.path.exists(cand):
+                        graph_data = HeteroGraph.load(cand)
+                        break
+                else:
+                    raise ValueError(
+                        f"checkpoint {path!r} was saved with include_graph=False and "
+                        "no sibling graph.npz exists; pass graph_data= "
+                        "(e.g. HeteroGraph.load(...))"
+                    )
 
         config = DotDict(restored.get("config") or {})
         # JSON floats are doubles; keep them — the normalizer builds its

@@ -32,6 +32,7 @@ __all__ = [
     "H5Dataset",
     "MemmapDataset",
     "SyntheticSource",
+    "check_source_layout",
     "open_dataset",
     "save_memmap_dataset",
 ]
@@ -227,6 +228,28 @@ class SyntheticSource:
         if start < 0 or start + length > self._steps:
             raise IndexError(f"window [{start}, {start + length}) outside {self._steps} steps")
         return np.stack([self._gen.field(float(t)) for t in range(start, start + length)])
+
+
+def check_source_layout(iface, source) -> None:
+    """Fail fast when a dataset's column layout disagrees with the layout a
+    checkpoint was trained on.
+
+    Every tensor index in the checkpoint (data_indices, normalizer columns)
+    refers to positions in the *training* dataset's variable order; a dataset
+    with the same names in a different order would silently pair each column
+    with another variable's statistics. Same-name-same-position is the
+    contract, checked explicitly here.
+    """
+    wrong = []
+    for name, idx in iface.data_indices.name_to_index.items():
+        if idx >= len(source.variables) or source.variables[idx] != name:
+            found = source.variables[idx] if idx < len(source.variables) else "<missing>"
+            wrong.append(f"column {idx}: expected {name!r}, dataset has {found!r}")
+    if wrong:
+        raise ValueError(
+            "dataset variable layout does not match the checkpoint's "
+            "(indices and statistics are positional):\n  " + "\n  ".join(wrong)
+        )
 
 
 def open_dataset(path: str) -> DataSource:

@@ -74,28 +74,32 @@ def evaluate_interface(
     """
     indices = iface.data_indices
     graph = iface.graph_data
+    data_node = iface.config.graph.get("data", "data")
     multi_step = iface.multi_step
     if start is None:
         start = len(source) - (multi_step + n_steps)
+    src_idx = graph[data_node].attrs.get("source_index")
+    perm = None if src_idx is None else np.ascontiguousarray(src_idx[:, 0])
 
-    def pre_window(t0: int, length: int) -> jnp.ndarray:
-        raw = source.window(t0, length)[None]
-        src_idx = graph["data"].attrs.get("source_index")
-        if src_idx is not None:
-            raw = raw[:, :, np.ascontiguousarray(src_idx[:, 0]), :]
+    def pre_windows(raw: np.ndarray) -> jnp.ndarray:
+        if perm is not None:
+            raw = raw[:, :, perm, :]
         return iface.pre_processors(jnp.asarray(raw), in_place=False)
 
-    pre = pre_window(start, multi_step + n_steps)
+    pre = pre_windows(source.window(start, multi_step + n_steps)[None])
     data_in = np.asarray(indices.internal_data.input.full)
     x0 = pre[:, :multi_step, None][..., data_in]
     truth_in = jnp.moveaxis(pre[:, multi_step:, None][..., data_in], 1, 0)
-    area = jnp.asarray(graph["data"].attrs["area_weight"][:, 0])
+    area = jnp.asarray(graph[data_node].attrs["area_weight"][:, 0])
 
     climatology = None
     if acc:
-        # time-mean state in normalized space, at prognostic-input width
+        # time-mean state in normalized space, at prognostic-input width:
+        # one stacked batch of up to 64 evenly spaced single-step windows,
+        # preprocessed in one pass
         sample = np.unique(np.linspace(0, len(source) - 1, 64).astype(int))
-        mean = sum(np.asarray(pre_window(int(t), 1)[0, 0]) for t in sample) / len(sample)
+        stacked = np.stack([source.window(int(t), 1) for t in sample])
+        mean = np.asarray(pre_windows(stacked)).mean(axis=(0, 1))
         prog_in = np.asarray(indices.internal_model.input.prognostic)
         climatology = jnp.asarray(mean[:, data_in][:, prog_in])
 

@@ -196,6 +196,15 @@ def train_run(
         return state, ema, loss
 
     ckpt_path = os.path.join(checkpoint_dir, "latest") if checkpoint_dir else None
+    if checkpoint_dir:
+        # graph-once layout: the graph is immutable across a run, so write
+        # it one time as a sibling graph.npz instead of re-serializing it
+        # into every periodic checkpoint (GB-scale at O1280);
+        # from_checkpoint finds it automatically
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        graph_path = os.path.join(checkpoint_dir, "graph.npz")
+        if not os.path.exists(graph_path):
+            graph.save(graph_path)
 
     with use_mesh(mesh):
         # init on a full-size batch: under a mesh the model's batch-axis
@@ -247,7 +256,7 @@ def train_run(
             # AnemoiModelInterface.from_checkpoint
             iface.params = state.params
             iface.metadata["sampler"] = sampler.state()
-            iface.save(ckpt_path, opt_state=opt_tree, step=step_no)
+            iface.save(ckpt_path, opt_state=opt_tree, step=step_no, include_graph=False)
 
         sharding = None
         if mesh is not None:

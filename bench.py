@@ -98,13 +98,19 @@ def _probe_devices(budget_s: int) -> bool:
     import subprocess
 
     try:
-        subprocess.run(
+        sub = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
-            capture_output=True, timeout=budget_s, check=True,
+            capture_output=True, text=True, timeout=budget_s,
         )
-        return True
-    except Exception:
+    except subprocess.TimeoutExpired:
+        print(f"bench: device probe timed out after {budget_s}s (backend hung)",
+              file=sys.stderr, flush=True)
         return False
+    if sub.returncode:  # a broken env is not a hung tunnel — show the cause
+        print(f"bench: device probe failed (rc={sub.returncode}):\n"
+              f"{sub.stderr.strip()[-2000:]}", file=sys.stderr, flush=True)
+        return False
+    return True
 
 
 def main() -> None:
@@ -112,11 +118,9 @@ def main() -> None:
     if os.environ.get("BENCH_GRAPH_IMPL") is None and probe_budget > 0:
         # probe once at the top level only (pinned subprocesses inherit a
         # working backend or die under their own timeout)
-        for attempt in range(2):
+        for _ in range(2):
             if _probe_devices(probe_budget):
                 break
-            print(f"bench: device probe {attempt + 1} timed out after "
-                  f"{probe_budget}s", file=sys.stderr, flush=True)
         else:
             print(json.dumps({
                 "metric": "enc-proc-dec fwd grid-points/s/chip (UNMEASURED: "

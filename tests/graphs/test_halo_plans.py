@@ -120,8 +120,8 @@ def test_cost_model_slab_selection(monkeypatch):
 
     plan_cost_sel = edge_set_kernel_plan(es, n, n)
     monkeypatch.setenv("ANEMOI_PLAN_SELECT", "coverage")
-    # separate cache key space: change cap to force a rebuild
-    plan_cov = edge_set_kernel_plan(es, n, n, cap=16)
+    # the memo keys auto-selected plans by selection mode, so this rebuilds
+    plan_cov = edge_set_kernel_plan(es, n, n)
     assert plan_cov.coverage >= plan_cost_sel.coverage - 0.01
     # the cost model never picks a strictly costlier plan
     widths = (256, 384, 512, 768, 1024, 1536)

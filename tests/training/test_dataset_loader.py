@@ -219,3 +219,34 @@ def test_device_prefetch_with_sharding(tmp_path):
     assert out[0].sharding.is_equivalent_to(sharding, out[0].ndim)
     np.testing.assert_array_equal(np.asarray(out[0][0]), data[0:2])
     loader.close()
+
+
+def test_check_source_layout_rejects_reordered_variables(tmp_path):
+    import numpy as np
+
+    from anemoi_models_tpu.graphs import latlon_grid_nodes
+    from anemoi_models_tpu.training import train_run
+    from anemoi_models_tpu.training.dataset import (
+        SyntheticSource,
+        check_source_layout,
+        save_memmap_dataset,
+    )
+
+    coords = latlon_grid_nodes(8).coords
+    source = SyntheticSource(coords, num_vars=4, num_steps=24, seed=0)
+    result = train_run(
+        source, forcing=("var_0",), steps=1, mesh_refinements=1,
+        model_kwargs=dict(num_channels=16, num_layers=1, num_heads=2, num_chunks=1,
+                          trainable_hidden=2, trainable_edges=2),
+        batch_size=2, seed=0, log=lambda s: None,
+    )
+    iface = result["interface"]
+    check_source_layout(iface, source)  # matching layout passes
+
+    data = source.window(0, 24)
+    shuffled = save_memmap_dataset(
+        str(tmp_path / "shuffled"), data[..., [1, 0, 2, 3]],
+        ["var_1", "var_0", "var_2", "var_3"], coords,
+    )
+    with pytest.raises(ValueError, match="layout does not match"):
+        check_source_layout(iface, shuffled)

@@ -204,6 +204,13 @@ def test_predict_cli(source, tmp_path, capsys):
     assert fc.variables == ["var_1", "var_2", "var_3"]
     w = fc.window(0, 2)
     assert w.shape == (2, len(source.coords), 3) and np.isfinite(w).all()
+    # physical-space sanity: the residual model's 1-step forecast must stay
+    # within a few sigma of the last input state — catches any
+    # normalization-scale bug (e.g. double preprocessing) that finiteness
+    # checks would miss
+    last_input = data[44 + 1][:, [1, 2, 3]]  # start=44, multi_step=2
+    std = np.asarray(source.statistics["stdev"])[[1, 2, 3]]
+    assert np.all(np.abs(w[0] - last_input) < 5 * std)
 
     out_npz = str(tmp_path / "fc.npz")
     rc = main(["predict", result["checkpoint"], str(tmp_path / "ds"),

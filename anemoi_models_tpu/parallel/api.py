@@ -110,9 +110,18 @@ def make_hybrid_mesh(
     """
     from jax.experimental import mesh_utils
 
-    devices = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(ici_data, model),
-        dcn_mesh_shape=(dcn_data, 1),
-    )
-    devices = devices.reshape(dcn_data * ici_data, model)
+    devices = jax.devices()
+    if getattr(devices[0], "slice_index", None) is not None:
+        devices = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(ici_data, model),
+            dcn_mesh_shape=(dcn_data, 1),
+        )
+    else:
+        # no slice topology (single slice, or CPU-emulated devices in
+        # tests): the DCN factor is layout-only — consecutive devices stay
+        # in the same model group, mirroring the hybrid order
+        n = dcn_data * ici_data * model
+        assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+        devices = np.asarray(devices[:n]).reshape(dcn_data * ici_data, model)
+    devices = np.asarray(devices).reshape(dcn_data * ici_data, model)
     return Mesh(devices, axis_names=("data", "model"))

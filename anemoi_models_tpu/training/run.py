@@ -206,6 +206,15 @@ def train_run(
         if not os.path.exists(graph_path):
             graph.save(graph_path)
 
+    metrics_path = os.path.join(checkpoint_dir, "metrics.jsonl") if checkpoint_dir else None
+
+    def log_metrics(record: dict) -> None:
+        if metrics_path:
+            import json
+
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(record) + "\n")
+
     with use_mesh(mesh):
         # init on a full-size batch: under a mesh the model's batch-axis
         # sharding needs batch % data-axis == 0, and batch_size is what the
@@ -289,12 +298,15 @@ def train_run(
                     rate = (i + 1 - i_seg) / max(now - t_seg, 1e-9)
                     t_seg, i_seg = now, i + 1
                     log(f"step {step_no:6d}  loss {lv:.5f}  ({rate:.2f} steps/s)")
+                    log_metrics({"step": step_no, "loss": lv, "steps_per_s": round(rate, 4)})
                 if eval_every and step_no % eval_every == 0:
                     scores = _eval_tail(
                         iface, source, eval_rollout,
                         state.params if ema is None else ema,
                     )
                     evals.append({"step": step_no, **scores})
+                    log_metrics({"step": step_no, "eval_rmse": scores["rmse_mean"],
+                                 "eval_skill": scores["skill_mean"]})
                     log(
                         f"eval @ {step_no}: rollout-{eval_rollout} rmse "
                         f"{scores['rmse_mean']:.5f}  skill vs persistence "

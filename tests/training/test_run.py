@@ -218,3 +218,31 @@ def test_predict_cli(source, tmp_path, capsys):
     assert rc == 0
     z = np.load(out_npz)
     np.testing.assert_allclose(z["forecast"], w, atol=1e-5)
+
+
+def test_train_run_hybrid_mesh_and_metrics(source, tmp_path):
+    """Hybrid (DCN x ICI) mesh layout trains; metrics.jsonl records steps."""
+    import json
+
+    from anemoi_models_tpu.parallel import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(dcn_data=2, ici_data=2, model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    result = train_run(
+        source,
+        forcing=("var_0",),
+        steps=2,
+        batch_size=4,
+        peak_lr=1e-3,
+        mesh=mesh,
+        checkpoint_dir=str(tmp_path),
+        seed=0,
+        log=lambda s: None,
+        **{k: v for k, v in TINY.items() if k not in ("batch_size", "log_every")},
+        log_every=1,
+    )
+    assert result["steps_done"] == 2 and np.isfinite(result["losses"]).all()
+    with open(tmp_path / "metrics.jsonl") as f:
+        records = [json.loads(line) for line in f]
+    assert [r["step"] for r in records] == [1, 2]
+    assert all(np.isfinite(r["loss"]) for r in records)

@@ -105,12 +105,21 @@ class BatchLoader:
         *,
         depth: int = 4,
         max_batches: int | None = None,
+        workers: int = 1,
     ) -> None:
         self.source = source
         self.sampler = sampler
         self.max_batches = max_batches
         self._queue: queue.Queue = queue.Queue(maxsize=max(depth, 1))
         self._stop = threading.Event()
+        self._pool = None
+        if workers > 1:
+            # windows within a batch read independent file regions: a small
+            # pool overlaps them (numpy/HDF5 reads release the GIL) — at
+            # large grids a single batch is GB-scale and read-bound
+            import concurrent.futures
+
+            self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=workers)
         self._thread = threading.Thread(target=self._work, daemon=True)
         self._thread.start()
 
@@ -127,9 +136,13 @@ class BatchLoader:
                 if self._stop.is_set():
                     return
                 starts = next(it)
-                batch = np.stack(
-                    [self.source.window(int(t), self.sampler.window) for t in starts]
-                )
+                w = self.sampler.window
+                if self._pool is not None:
+                    batch = np.stack(
+                        list(self._pool.map(lambda t: self.source.window(int(t), w), starts))
+                    )
+                else:
+                    batch = np.stack([self.source.window(int(t), w) for t in starts])
                 produced += 1
                 while not self._stop.is_set():
                     try:
@@ -158,6 +171,8 @@ class BatchLoader:
         except queue.Empty:
             pass
         self._thread.join(timeout=5)
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
 
     def __del__(self) -> None:
         self._stop.set()

@@ -76,6 +76,7 @@ def train_run(
     log_every: int = 10,
     log: Callable[[str], None] = print,
     loader_depth: int = 4,
+    loader_workers: int = 1,
     prefetch: int = 2,
 ) -> dict:
     """Train a forecast model on ``source``; returns a run summary dict.
@@ -282,7 +283,8 @@ def train_run(
         if remaining <= 0:
             log(f"checkpoint already at step {start_step} >= steps={steps}; nothing to do")
 
-        loader = BatchLoader(source, sampler, depth=loader_depth, max_batches=remaining)
+        loader = BatchLoader(source, sampler, depth=loader_depth,
+                             max_batches=remaining, workers=loader_workers)
         t_seg, i_seg = time.perf_counter(), 0
         try:
             stream = device_prefetch(

@@ -250,3 +250,29 @@ def test_check_source_layout_rejects_reordered_variables(tmp_path):
     )
     with pytest.raises(ValueError, match="layout does not match"):
         check_source_layout(iface, shuffled)
+
+
+def test_batch_loader_workers_deterministic(tmp_path):
+    """Parallel window stacking yields the exact batches of the serial path."""
+    import numpy as np
+
+    from anemoi_models_tpu.graphs import latlon_grid_nodes
+    from anemoi_models_tpu.training.dataset import SyntheticSource, save_memmap_dataset
+    from anemoi_models_tpu.training.loader import BatchLoader, WindowSampler
+
+    coords = latlon_grid_nodes(6).coords
+    src = SyntheticSource(coords, num_vars=3, num_steps=30, seed=4)
+    ds = save_memmap_dataset(str(tmp_path / "d"), src.window(0, 30), src.variables, coords)
+
+    def collect(workers):
+        sampler = WindowSampler(len(ds), 3, 4, seed=7)
+        loader = BatchLoader(ds, sampler, max_batches=5, workers=workers)
+        try:
+            return list(loader)
+        finally:
+            loader.close()
+
+    serial, parallel = collect(1), collect(4)
+    assert len(serial) == len(parallel) == 5
+    for a, b in zip(serial, parallel):
+        np.testing.assert_array_equal(a, b)

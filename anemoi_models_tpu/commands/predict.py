@@ -26,6 +26,11 @@ class Predict:
                             help="initial-window start (default: dataset tail)")
         parser.add_argument("--output", default="forecast.npz",
                             help=".npz path, or a directory for memmap-dataset output")
+        parser.add_argument("--ensemble", type=int, default=1,
+                            help="members from perturbed initial conditions")
+        parser.add_argument("--perturb-sigma", type=float, default=0.01,
+                            help="IC perturbation scale in per-variable stdevs")
+        parser.add_argument("--seed", type=int, default=0)
 
     def run(self, args) -> int:
         import os
@@ -64,21 +69,43 @@ class Predict:
         # for preprocessed values
         data_in = np.asarray(indices.data.input.full)
         forcing_in = np.asarray(indices.internal_model.input.forcing)
-        batch = jnp.asarray(raw[:, :multi_step][..., data_in])
+        ics = raw[:, :multi_step][..., data_in]  # (1, ms, grid, n_in)
+        if args.ensemble > 1:
+            # members ride the batch axis (one compiled program rolls all):
+            # physical-space IC noise scaled per variable, forcing columns
+            # kept at truth
+            rng = np.random.RandomState(args.seed)
+            std = np.asarray(
+                [source.statistics["stdev"][source.name_to_index[n]]
+                 for n, _ in sorted(indices.model.input.name_to_index.items(),
+                                    key=lambda kv: kv[1])],
+                np.float32,
+            )
+            noise = rng.standard_normal((args.ensemble,) + ics.shape[1:]).astype(np.float32)
+            noise *= args.perturb_sigma * std
+            noise[..., np.asarray(indices.model.input.forcing)] = 0.0
+            noise[0] = 0.0  # member 0 is the control run
+            ics = ics + noise
+        batch = jnp.asarray(ics)
         forcings = None
         if forcing_in.size:
             pre = iface.pre_processors(jnp.asarray(raw), in_place=False)
             internal_in = np.asarray(indices.internal_data.input.full)
             future = jnp.moveaxis(pre[:, multi_step:, None][..., internal_in], 1, 0)
-            forcings = future[..., forcing_in]
+            forcings = jnp.broadcast_to(
+                future[..., forcing_in],
+                (args.steps, len(batch)) + future.shape[2:-1] + (int(forcing_in.size),),
+            )
 
-        # physical-space forecast: (steps, batch, ensemble, grid, n_out)
+        # physical-space forecast: (steps, members, ensemble=1, grid, n_out)
         preds = iface.predict_rollout(batch, args.steps, forcings=forcings)
-        fc = np.asarray(preds[:, 0, 0], np.float32)  # (steps, grid, n_out)
+        members = np.asarray(preds[:, :, 0], np.float32)  # (steps, members, grid, n_out)
+        fc = members.mean(axis=1) if args.ensemble > 1 else members[:, 0]
         if perm is not None:  # back to the dataset's own row order
             inv = np.empty_like(perm)
             inv[perm] = np.arange(len(perm), dtype=perm.dtype)
             fc = fc[:, inv, :]
+            members = members[:, :, inv, :]
 
         out_names = [
             n for n, _ in sorted(
@@ -86,9 +113,12 @@ class Predict:
             )
         ]
         if args.output.endswith(".npz"):
+            extra = {}
+            if args.ensemble > 1:  # forecast= the member mean; spread + members too
+                extra = {"members": members, "ens_std": members.std(axis=1)}
             np.savez_compressed(
                 args.output, forecast=fc, variables=np.asarray(out_names),
-                start=start, lead_steps=np.arange(1, args.steps + 1),
+                start=start, lead_steps=np.arange(1, args.steps + 1), **extra,
             )
         else:
             from anemoi_models_tpu.training.dataset import save_memmap_dataset
@@ -100,6 +130,7 @@ class Predict:
                     for k, v in source.statistics.items()
                 },
             )
+        ens = f" ({args.ensemble}-member mean)" if args.ensemble > 1 else ""
         print(f"forecast: {args.steps} steps x {fc.shape[1]} points x "
-              f"{len(out_names)} vars -> {args.output}")
+              f"{len(out_names)} vars{ens} -> {args.output}")
         return 0

@@ -246,3 +246,31 @@ def test_train_run_hybrid_mesh_and_metrics(source, tmp_path):
         records = [json.loads(line) for line in f]
     assert [r["step"] for r in records] == [1, 2]
     assert all(np.isfinite(r["loss"]) for r in records)
+
+
+def test_predict_cli_ensemble(source, tmp_path):
+    """Perturbed-IC ensemble: member 0 is the control, spread is nonzero."""
+    from anemoi_models_tpu.commands import main
+    from anemoi_models_tpu.training.dataset import save_memmap_dataset
+
+    result = train_run(
+        source, forcing=("var_0",), steps=2, peak_lr=1e-3,
+        checkpoint_dir=str(tmp_path / "ck"), seed=0, log=lambda s: None, **TINY,
+    )
+    data = source.window(0, len(source))
+    save_memmap_dataset(str(tmp_path / "ds"), data, source.variables, source.coords,
+                        statistics=source.statistics)
+
+    det = str(tmp_path / "det.npz")
+    ens = str(tmp_path / "ens.npz")
+    assert main(["predict", result["checkpoint"], str(tmp_path / "ds"),
+                 "--steps", "2", "--output", det]) == 0
+    assert main(["predict", result["checkpoint"], str(tmp_path / "ds"),
+                 "--steps", "2", "--ensemble", "3", "--perturb-sigma", "0.05",
+                 "--output", ens]) == 0
+    zd, ze = np.load(det), np.load(ens)
+    assert ze["members"].shape == (2, 3, len(source.coords), 3)
+    # member 0 (unperturbed control) reproduces the deterministic forecast
+    np.testing.assert_allclose(ze["members"][:, 0], zd["forecast"], atol=1e-5)
+    assert float(ze["ens_std"].mean()) > 0
+    assert np.isfinite(ze["members"]).all()

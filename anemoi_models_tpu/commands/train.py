@@ -30,6 +30,11 @@ class Train:
         parser.add_argument("--batch-size", type=int, default=2)
         parser.add_argument("--rollout", type=int, default=1,
                             help="autoregressive steps trained through per update")
+        parser.add_argument("--ensemble", type=int, default=1,
+                            help="ensemble members per sample (AIFS-CRPS style)")
+        parser.add_argument("--perturb-sigma", type=float, default=0.05)
+        parser.add_argument("--loss", default=None, choices=("mse", "crps"),
+                            help="objective (default: crps when --ensemble>1, else mse)")
         parser.add_argument("--channels", type=int, default=64)
         parser.add_argument("--layers", type=int, default=4)
         parser.add_argument("--heads", type=int, default=4)
@@ -94,6 +99,9 @@ class Train:
             steps=args.steps,
             batch_size=args.batch_size,
             rollout=args.rollout,
+            ensemble=args.ensemble,
+            perturb_sigma=args.perturb_sigma,
+            loss=args.loss or ("crps" if args.ensemble > 1 else "mse"),
             peak_lr=args.lr,
             ema_decay=args.ema,
             checkpoint_dir=args.checkpoint_dir,

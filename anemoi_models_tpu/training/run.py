@@ -31,7 +31,7 @@ import numpy as np
 from anemoi_models_tpu.training.dataset import DataSource
 from anemoi_models_tpu.training.evaluate import evaluate_interface
 from anemoi_models_tpu.training.loader import BatchLoader, WindowSampler, device_prefetch
-from anemoi_models_tpu.training.loss import WeightedMSELoss
+from anemoi_models_tpu.training.loss import WeightedCRPSLoss, WeightedMSELoss
 from anemoi_models_tpu.training.optim import ema_update, make_optimizer
 from anemoi_models_tpu.training.step import make_rollout_train_step, make_train_step
 
@@ -62,6 +62,9 @@ def train_run(
     max_steps_this_run: Optional[int] = None,
     batch_size: int = 2,
     rollout: int = 1,
+    ensemble: int = 1,
+    perturb_sigma: float = 0.05,
+    loss: str = "mse",
     peak_lr: float = 1e-3,
     warmup_steps: Optional[int] = None,
     weight_decay: float = 0.0,
@@ -87,6 +90,13 @@ def train_run(
     ``flavor`` with ``model_kwargs`` applied. With ``checkpoint_dir`` +
     ``resume=True`` the run continues exactly where it stopped: parameters,
     optimizer moments, EMA, and the sampler's epoch/position all restore.
+
+    ``ensemble`` > 1 trains an M-member ensemble: each batch's initial
+    window is replicated over the model's native ensemble axis with
+    normalized-space perturbations on prognostic inputs (``perturb_sigma``
+    stdevs, forcings pinned), and the natural objective is ``loss="crps"``
+    (fair ensemble CRPS, the AIFS-CRPS recipe) — ``loss`` also accepts
+    "mse" for deterministic training and works with either ensemble size.
 
     ``steps`` is the full training horizon (it sets the LR schedule);
     ``max_steps_this_run`` optionally boxes how many updates this invocation
@@ -163,7 +173,11 @@ def train_run(
     iface.fit_processors(jnp.asarray(first))
 
     area = jnp.asarray(graph["data"].attrs["area_weight"][:, 0])
-    loss_fn = WeightedMSELoss(node_weights=area, loss_mask=_loss_mask(iface.pre_processors))
+    if loss == "crps":
+        loss_fn = WeightedCRPSLoss(node_weights=area)
+    else:
+        assert loss == "mse", f"loss must be 'mse' or 'crps', got {loss!r}"
+        loss_fn = WeightedMSELoss(node_weights=area, loss_mask=_loss_mask(iface.pre_processors))
     optimizer = make_optimizer(
         peak_lr,
         warmup_steps=min(warmup_steps if warmup_steps is not None else max(steps // 10, 1), steps),
@@ -178,16 +192,29 @@ def train_run(
             iface.model, indices, optimizer, rollout, loss_fn
         )
 
-    def prep(raw: jnp.ndarray):
+    forcing_in = np.asarray(indices.internal_model.input.forcing)
+    base_key = jax.random.key(seed + 1)
+
+    def prep(raw: jnp.ndarray, step=None):
         pre = iface.pre_processors(raw, in_place=False)  # (b, window, grid, vars)
         x0 = pre[:, :multi_step, None][..., data_in]
+        if ensemble > 1:
+            # M members on the model's native ensemble axis, normalized-space
+            # IC noise (forcing columns pinned to truth); fresh noise per
+            # update via the step counter, so resume stays deterministic
+            x0 = jnp.repeat(x0, ensemble, axis=2)
+            key = base_key if step is None else jax.random.fold_in(base_key, step)
+            noise = perturb_sigma * jax.random.normal(key, x0.shape, x0.dtype)
+            if forcing_in.size:
+                noise = noise.at[..., forcing_in].set(0.0)
+            x0 = x0 + noise
         future = pre[:, multi_step:, None]  # (b, rollout, 1, grid, vars)
         truth_in = jnp.moveaxis(future[..., data_in], 1, 0)
         targets = jnp.moveaxis(future[..., data_out], 1, 0)
         return x0, truth_in, targets
 
     def full_step(state, ema, raw):
-        x0, truth_in, targets = prep(raw)
+        x0, truth_in, targets = prep(raw, step=state.step)
         if rollout == 1:
             state, loss = step_core(state, x0, targets[0])
         else:

@@ -274,3 +274,23 @@ def test_predict_cli_ensemble(source, tmp_path):
     np.testing.assert_allclose(ze["members"][:, 0], zd["forecast"], atol=1e-5)
     assert float(ze["ens_std"].mean()) > 0
     assert np.isfinite(ze["members"]).all()
+
+
+def test_train_run_ensemble_crps(source):
+    """CRPS ensemble training runs and reduces the objective."""
+    result = train_run(
+        source,
+        forcing=("var_0",),
+        ensemble=3,
+        loss="crps",
+        perturb_sigma=0.05,
+        steps=6,
+        peak_lr=5e-3,
+        seed=0,
+        log=lambda s: None,
+        **TINY,
+    )
+    assert result["steps_done"] == 6
+    assert np.isfinite(result["losses"]).all()
+    # CRPS of a barely-trained net on smooth data should already be < 1 sigma
+    assert result["losses"][-1] < 1.0

@@ -109,3 +109,41 @@ def test_synthetic_weather_batches_and_statistics():
     for key in ("mean", "stdev", "minimum", "maximum"):
         assert key in stats and np.isfinite(stats[key]).all()
     assert (stats["stdev"] > 0).all()
+
+
+def test_crps_ensemble_matches_bruteforce():
+    import numpy as np
+
+    from anemoi_models_tpu.training.loss import crps_ensemble
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 5, 7, 3).astype(np.float32)
+    y = rng.randn(2, 1, 7, 3).astype(np.float32)
+    m = x.shape[1]
+    skill = np.abs(x - y).mean(1)
+    pair = sum(
+        np.abs(x[:, i] - x[:, j]) for i in range(m) for j in range(m)
+    )
+    ref = float((skill - pair / (2 * m * (m - 1))).mean())
+    got = float(crps_ensemble(jnp.asarray(x), jnp.asarray(y)))
+    assert abs(got - ref) < 1e-6
+    # all members == truth -> zero; M=1 -> MAE
+    z = np.repeat(y, m, axis=1)
+    assert abs(float(crps_ensemble(jnp.asarray(z), jnp.asarray(y)))) < 1e-7
+    mae = float(np.abs(x[:, :1] - y).mean())
+    assert abs(float(crps_ensemble(jnp.asarray(x[:, :1]), jnp.asarray(y))) - mae) < 1e-6
+
+
+def test_crps_weighted_and_grad():
+    import numpy as np
+
+    from anemoi_models_tpu.training.loss import WeightedCRPSLoss
+
+    rng = np.random.RandomState(1)
+    pred = jnp.asarray(rng.randn(1, 4, 6, 2).astype(np.float32))
+    target = jnp.asarray(rng.randn(1, 1, 6, 2).astype(np.float32))
+    w = jnp.asarray(np.abs(rng.rand(6)) + 0.1)
+    loss_fn = WeightedCRPSLoss(node_weights=w)
+    val, grad = jax.value_and_grad(lambda p: loss_fn(p, target))(pred)
+    assert np.isfinite(float(val)) and np.isfinite(np.asarray(grad)).all()
+    assert float(jnp.abs(grad).max()) > 0

@@ -23,6 +23,9 @@ class Evaluate:
                             help="window start (default: dataset tail)")
         parser.add_argument("--acc", action="store_true",
                             help="add anomaly correlation vs dataset climatology")
+        parser.add_argument("--ensemble", type=int, default=1,
+                            help="score an M-member perturbed-IC ensemble (CRPS, spread)")
+        parser.add_argument("--perturb-sigma", type=float, default=0.05)
         parser.add_argument("--json", action="store_true", help="print raw JSON scores")
 
     def run(self, args) -> int:
@@ -39,7 +42,8 @@ class Evaluate:
         check_source_layout(iface, source)
 
         scores = evaluate_interface(
-            iface, source, n_steps=args.rollout, start=args.start, acc=args.acc
+            iface, source, n_steps=args.rollout, start=args.start, acc=args.acc,
+            ensemble=args.ensemble, perturb_sigma=args.perturb_sigma,
         )
         if args.json:
             print(json.dumps({k: np.asarray(v).tolist() for k, v in scores.items()}))
@@ -64,4 +68,10 @@ class Evaluate:
                 f"{np.mean(scores['skill_vs_persistence'][t]):>+7.3f}{acc_col}"
             )
         print(f"variables: {', '.join(prog)}")
+        if args.ensemble > 1:
+            print(f"\n{'lead':>5}  {'crps':>9}  {'spread':>9}  {'spread/skill':>12}")
+            for t in range(args.rollout):
+                print(f"{t + 1:>5}  {scores['crps'][t]:>9.5f}  "
+                      f"{scores['spread'][t]:>9.5f}  "
+                      f"{scores['spread_skill_ratio'][t]:>12.3f}")
         return 0

@@ -62,6 +62,9 @@ def evaluate_interface(
     start: Optional[int] = None,
     params: Any = None,
     acc: bool = False,
+    ensemble: int = 1,
+    perturb_sigma: float = 0.05,
+    seed: int = 0,
 ) -> dict[str, np.ndarray]:
     """Score a checkpointed/built interface on a window of a `DataSource`.
 
@@ -71,6 +74,10 @@ def evaluate_interface(
     one-call eval for ``AnemoiModelInterface.from_checkpoint`` artifacts.
     ``acc=True`` adds anomaly correlation against a climatology estimated
     from the dataset (time mean over up to 64 evenly spaced steps).
+    ``ensemble`` > 1 rolls M members from perturbed initial conditions
+    (normalized-space noise on prognostic inputs) and adds per-lead-time
+    fair CRPS, ensemble spread, and the spread/skill ratio — the standard
+    ensemble-calibration diagnostics (ratio ≈ 1 for a reliable ensemble).
     """
     indices = iface.data_indices
     graph = iface.graph_data
@@ -103,15 +110,39 @@ def evaluate_interface(
         prog_in = np.asarray(indices.internal_model.input.prognostic)
         climatology = jnp.asarray(mean[:, data_in][:, prog_in])
 
-    return evaluate_rollout(
-        iface.model,
-        indices,
-        params if params is not None else iface.params,
-        x0,
-        truth_in,
-        node_weights=area,
-        climatology=climatology,
+    params = params if params is not None else iface.params
+    scores = evaluate_rollout(
+        iface.model, indices, params, x0, truth_in,
+        node_weights=area, climatology=climatology,
     )
+    if ensemble > 1:
+        from anemoi_models_tpu.training.loss import crps_ensemble
+
+        prog_in = np.asarray(indices.internal_model.input.prognostic)
+        prog_out = np.asarray(indices.internal_model.output.prognostic)
+        forcing_in = np.asarray(indices.internal_model.input.forcing)
+        x0_m = jnp.repeat(x0, ensemble, axis=2)
+        noise = perturb_sigma * jax.random.normal(jax.random.key(seed), x0_m.shape, x0_m.dtype)
+        if forcing_in.size:
+            noise = noise.at[..., forcing_in].set(0.0)
+        rollout = jax.jit(make_rollout_fn(iface.model, indices, n_steps))
+        forcings = truth_in[..., forcing_in] if forcing_in.size else None
+        _, preds = rollout(params, x0_m + noise, forcings)
+        members = preds[..., prog_out]  # (steps, b, M, grid, vp)
+        truth = truth_in[..., prog_in]
+        crps = np.asarray([
+            float(crps_ensemble(members[t], truth[t], node_weights=area))
+            for t in range(n_steps)
+        ])
+        spread = np.asarray(jnp.sqrt((members.var(axis=2)).mean(axis=(1, 2, 3))))
+        mean_rmse = rollout_scores(
+            members.mean(axis=2, keepdims=True), truth, node_weights=area
+        )["rmse"].mean(axis=1)
+        scores["crps"] = crps
+        scores["spread"] = spread
+        scores["spread_skill_ratio"] = spread / np.maximum(mean_rmse, 1e-12)
+        scores["ens_mean_rmse"] = mean_rmse
+    return scores
 
 
 def evaluate_rollout(

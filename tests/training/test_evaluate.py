@@ -64,3 +64,30 @@ def test_evaluate_interface_acc(tmp_path):
     assert np.all(scores["acc"] <= 1.0 + 1e-6)
     # persistence of a smooth field correlates strongly with truth anomalies
     assert np.isfinite(scores["persistence_acc"]).all()
+
+
+def test_evaluate_interface_ensemble(tmp_path):
+    import numpy as np
+
+    from anemoi_models_tpu.graphs import latlon_grid_nodes
+    from anemoi_models_tpu.training import evaluate_interface, train_run
+    from anemoi_models_tpu.training.dataset import SyntheticSource
+
+    coords = latlon_grid_nodes(8).coords
+    source = SyntheticSource(coords, num_vars=4, num_steps=48, seed=2)
+    result = train_run(
+        source, forcing=("var_0",), steps=2, peak_lr=1e-3,
+        mesh_refinements=1,
+        model_kwargs=dict(num_channels=16, num_layers=2, num_heads=2, num_chunks=1,
+                          trainable_hidden=2, trainable_edges=2),
+        batch_size=2, seed=0, log=lambda s: None,
+    )
+    scores = evaluate_interface(result["interface"], source, n_steps=3,
+                                params=result["state"].params,
+                                ensemble=4, perturb_sigma=0.05)
+    for key in ("crps", "spread", "spread_skill_ratio", "ens_mean_rmse"):
+        assert scores[key].shape == (3,)
+        assert np.isfinite(scores[key]).all()
+    assert (scores["crps"] > 0).all() and (scores["spread"] > 0).all()
+    # fair CRPS of an M-member forecast never exceeds the per-member MAE scale
+    assert (scores["crps"] <= scores["mae"].mean(axis=1) * 1.5).all()

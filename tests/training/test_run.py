@@ -294,3 +294,25 @@ def test_train_run_ensemble_crps(source):
     assert np.isfinite(result["losses"]).all()
     # CRPS of a barely-trained net on smooth data should already be < 1 sigma
     assert result["losses"][-1] < 1.0
+
+
+def test_train_run_with_diagnostic_variables(source):
+    """Diagnostic variables: model predicts them without seeing them as input."""
+    result = train_run(
+        source,
+        forcing=("var_0",),
+        diagnostic=("var_3",),
+        steps=3,
+        peak_lr=2e-3,
+        eval_every=3,
+        eval_rollout=2,
+        seed=0,
+        log=lambda s: None,
+        **TINY,
+    )
+    assert result["steps_done"] == 3
+    assert np.isfinite(result["losses"]).all()
+    idx = result["interface"].data_indices
+    assert len(idx.internal_model.input) == 3       # var_3 excluded from inputs
+    assert len(idx.internal_model.output) == 3      # var_0 excluded from outputs
+    assert np.isfinite(result["eval"][0]["rmse_mean"])

@@ -40,7 +40,7 @@ __all__ = ["train_run"]
 
 def _loss_mask(pipeline) -> Optional[jnp.ndarray]:
     """The imputer's (grid, vars_out) training mask, if any processor fit one."""
-    for proc in getattr(pipeline, "processors", []):
+    for proc in getattr(pipeline, "processors", {}).values():
         mask = getattr(proc, "loss_mask_training", None)
         if mask is not None:
             return mask

@@ -316,3 +316,58 @@ def test_train_run_with_diagnostic_variables(source):
     assert len(idx.internal_model.input) == 3       # var_3 excluded from inputs
     assert len(idx.internal_model.output) == 3      # var_0 excluded from outputs
     assert np.isfinite(result["eval"][0]["rmse_mean"])
+
+
+def test_train_run_with_imputer_on_nan_dataset(tmp_path):
+    """Real-data warts: NaNs in the dataset flow through imputer fit, the
+    loss mask, training, checkpointing, and serving."""
+    from anemoi_models_tpu import configs
+    from anemoi_models_tpu.interface import AnemoiModelInterface
+    from anemoi_models_tpu.training.dataset import SyntheticSource, save_memmap_dataset
+
+    coords = latlon_grid_nodes(8).coords
+    src = SyntheticSource(coords, num_vars=4, num_steps=32, seed=5)
+    data = src.window(0, 32)
+    rng = np.random.RandomState(0)
+    # fixed missing locations (ocean-mask style): same grid points at every
+    # time step, the static imputer's contract
+    hole = rng.rand(data.shape[1]) < 0.1
+    data[..., 2] = np.where(hole[None, :], np.nan, data[..., 2])
+    ds = save_memmap_dataset(str(tmp_path / "nan_ds"), data, src.variables, coords,
+                             statistics=src.statistics)
+
+    config = configs.enc_proc_dec(
+        forcing=("var_0",), diagnostic=(), num_channels=16, num_layers=2,
+        num_heads=2, num_chunks=1, trainable_hidden=2, trainable_edges=2,
+    )
+    config.data.processors["imputer"] = {
+        "_target_": "anemoi.models.preprocessing.imputer.InputImputer",
+        "config": {"default": "none", "mean": ["var_2"]},
+    }
+    result = train_run(
+        ds, config=config, mesh_refinements=1, steps=3, batch_size=2,
+        peak_lr=2e-3, checkpoint_dir=str(tmp_path / "ck"),
+        seed=0, log=lambda s: None,
+    )
+    assert np.isfinite(result["losses"]).all()
+    # the imputer's training mask reached the loss
+    from anemoi_models_tpu.training.run import _loss_mask
+
+    mask = _loss_mask(result["interface"].pre_processors)
+    assert mask is not None and float(mask.min()) == 0.0
+
+    # serving from the checkpoint restores the fitted imputer state
+    served = AnemoiModelInterface.from_checkpoint(result["checkpoint"])
+    raw = ds.window(0, 2)[None]
+    src_idx = result["graph"]["data"].attrs.get("source_index")
+    hole_rows = hole
+    if src_idx is not None:
+        raw = raw[:, :, src_idx[:, 0], :]
+        hole_rows = hole[src_idx[:, 0]]
+    batch = jax.numpy.asarray(raw[..., [0, 1, 2, 3]])
+    out = np.asarray(served.predict_step(batch))[0, 0]  # (grid, [var_1,2,3])
+    # reference semantics: the imputer's inverse restores NaN exactly at the
+    # recorded missing locations of var_2; everything else is finite
+    assert np.isnan(out[hole_rows, 1]).all()
+    assert np.isfinite(out[~hole_rows, 1]).all()
+    assert np.isfinite(out[:, [0, 2]]).all()

@@ -30,6 +30,8 @@ class Train:
         parser.add_argument("--batch-size", type=int, default=2)
         parser.add_argument("--rollout", type=int, default=1,
                             help="autoregressive steps trained through per update")
+        parser.add_argument("--rollout-schedule", default=None,
+                            help="curriculum, e.g. '0:1,5000:2,8000:4' (step:length)")
         parser.add_argument("--ensemble", type=int, default=1,
                             help="ensemble members per sample (AIFS-CRPS style)")
         parser.add_argument("--perturb-sigma", type=float, default=0.05)
@@ -99,6 +101,11 @@ class Train:
             steps=args.steps,
             batch_size=args.batch_size,
             rollout=args.rollout,
+            rollout_schedule=(
+                [tuple(int(x) for x in part.split(":"))
+                 for part in args.rollout_schedule.split(",")]
+                if args.rollout_schedule else None
+            ),
             ensemble=args.ensemble,
             perturb_sigma=args.perturb_sigma,
             loss=args.loss or ("crps" if args.ensemble > 1 else "mse"),

@@ -62,6 +62,8 @@ def train_run(
     max_steps_this_run: Optional[int] = None,
     batch_size: int = 2,
     rollout: int = 1,
+    rollout_schedule=None,
+    variable_loss_weights: Optional[dict] = None,
     ensemble: int = 1,
     perturb_sigma: float = 0.05,
     loss: str = "mse",
@@ -90,6 +92,12 @@ def train_run(
     ``flavor`` with ``model_kwargs`` applied. With ``checkpoint_dir`` +
     ``resume=True`` the run continues exactly where it stopped: parameters,
     optimizer moments, EMA, and the sampler's epoch/position all restore.
+
+    ``rollout_schedule`` implements the rollout curriculum (anemoi-training
+    style): ``[(0, 1), (5000, 2), (8000, 4)]`` trains 1-step until update
+    5000, then 2-step, then 4-step — each length is its own compiled
+    program, windows are sized for the longest. ``variable_loss_weights``
+    maps output variable names to loss weights (pressure-level scaling).
 
     ``ensemble`` > 1 trains an M-member ensemble: each batch's initial
     window is replicated over the model's native ensemble axis with
@@ -151,7 +159,17 @@ def train_run(
     )
 
     multi_step = int(config.training.multistep_input)
-    window = multi_step + rollout
+    if rollout_schedule:
+        sched = sorted((int(u), int(r)) for u, r in rollout_schedule)
+        assert sched[0][0] == 0, "rollout_schedule must define a length from step 0"
+    else:
+        sched = [(0, rollout)]
+    max_rollout = max(r for _, r in sched)
+
+    def rollout_at(step_no: int) -> int:
+        return max(r for u, r in sched if u <= step_no)
+
+    window = multi_step + max_rollout
     # dataset rows → graph order (mesh-locality permutation from the builder)
     src_idx = graph["data"].attrs.get("source_index")
     grid_perm = None if src_idx is None else np.ascontiguousarray(src_idx[:, 0])
@@ -173,11 +191,22 @@ def train_run(
     iface.fit_processors(jnp.asarray(first))
 
     area = jnp.asarray(graph["data"].attrs["area_weight"][:, 0])
+    var_w = None
+    if variable_loss_weights:
+        out_n2i = indices.internal_model.output.name_to_index
+        unknown = sorted(set(variable_loss_weights) - set(out_n2i))
+        if unknown:
+            raise ValueError(f"variable_loss_weights for non-output variables: {unknown}")
+        var_w = np.ones(len(out_n2i), np.float32)
+        for name, wgt in variable_loss_weights.items():
+            var_w[out_n2i[name]] = wgt
+        var_w = jnp.asarray(var_w)
     if loss == "crps":
-        loss_fn = WeightedCRPSLoss(node_weights=area)
+        loss_fn = WeightedCRPSLoss(node_weights=area, variable_weights=var_w)
     else:
         assert loss == "mse", f"loss must be 'mse' or 'crps', got {loss!r}"
-        loss_fn = WeightedMSELoss(node_weights=area, loss_mask=_loss_mask(iface.pre_processors))
+        loss_fn = WeightedMSELoss(node_weights=area, variable_weights=var_w,
+                                  loss_mask=_loss_mask(iface.pre_processors))
     optimizer = make_optimizer(
         peak_lr,
         warmup_steps=min(warmup_steps if warmup_steps is not None else max(steps // 10, 1), steps),
@@ -185,12 +214,20 @@ def train_run(
         weight_decay=weight_decay,
     )
 
-    if rollout == 1:
-        init_state, step_core = make_train_step(iface.model, optimizer, loss_fn)
-    else:
-        init_state, step_core = make_rollout_train_step(
-            iface.model, indices, optimizer, rollout, loss_fn
-        )
+    # one compiled step program per distinct rollout length (the curriculum
+    # switches between them; parameters/optimizer state are shared)
+    init_state = make_train_step(iface.model, optimizer, loss_fn)[0]
+    _cores: dict = {}
+
+    def step_core_for(r: int):
+        if r not in _cores:
+            if r == 1:
+                _cores[r] = make_train_step(iface.model, optimizer, loss_fn)[1]
+            else:
+                _cores[r] = make_rollout_train_step(
+                    iface.model, indices, optimizer, r, loss_fn
+                )[1]
+        return _cores[r]
 
     forcing_in = np.asarray(indices.internal_model.input.forcing)
     base_key = jax.random.key(seed + 1)
@@ -213,15 +250,24 @@ def train_run(
         targets = jnp.moveaxis(future[..., data_out], 1, 0)
         return x0, truth_in, targets
 
-    def full_step(state, ema, raw):
-        x0, truth_in, targets = prep(raw, step=state.step)
-        if rollout == 1:
-            state, loss = step_core(state, x0, targets[0])
-        else:
-            state, loss = step_core(state, x0, truth_in, targets)
-        if ema_decay is not None:
-            ema = ema_update(ema, state.params, ema_decay)
-        return state, ema, loss
+    _jitted: dict = {}
+
+    def step_fn_for(r: int):
+        if r not in _jitted:
+            core = step_core_for(r)
+
+            def full_step(state, ema, raw):
+                x0, truth_in, targets = prep(raw, step=state.step)
+                if r == 1:
+                    state, loss = core(state, x0, targets[0])
+                else:
+                    state, loss = core(state, x0, truth_in[:r], targets[:r])
+                if ema_decay is not None:
+                    ema = ema_update(ema, state.params, ema_decay)
+                return state, ema, loss
+
+            _jitted[r] = jax.jit(full_step, donate_argnums=(0, 1))
+        return _jitted[r]
 
     ckpt_path = os.path.join(checkpoint_dir, "latest") if checkpoint_dir else None
     if checkpoint_dir:
@@ -301,7 +347,6 @@ def train_run(
 
             sharding = NamedSharding(mesh, PartitionSpec("data", None, None, None))
 
-        step_fn = jax.jit(full_step, donate_argnums=(0, 1))
         remaining = steps - start_step
         if max_steps_this_run is not None:
             remaining = min(remaining, max_steps_this_run)
@@ -317,9 +362,15 @@ def train_run(
             stream = device_prefetch(
                 (ingest(b) for b in loader), prefetch=prefetch, sharding=sharding
             )
+            cur_rollout = None
             for i, raw in enumerate(stream):
-                state, ema, loss = step_fn(state, ema, raw)
                 step_no = start_step + i + 1
+                r = rollout_at(step_no)
+                if r != cur_rollout:
+                    if cur_rollout is not None:
+                        log(f"rollout curriculum: {cur_rollout} -> {r} at step {step_no}")
+                    cur_rollout = r
+                state, ema, loss = step_fn_for(r)(state, ema, raw)
                 if step_no % max(log_every, 1) == 0 or step_no == steps:
                     lv = float(loss)  # host fetch: all queued steps have executed
                     losses.append(lv)

@@ -371,3 +371,26 @@ def test_train_run_with_imputer_on_nan_dataset(tmp_path):
     assert np.isnan(out[hole_rows, 1]).all()
     assert np.isfinite(out[~hole_rows, 1]).all()
     assert np.isfinite(out[:, [0, 2]]).all()
+
+
+def test_train_run_rollout_curriculum_and_var_weights(source):
+    """Rollout curriculum switches program mid-run; variable weights apply."""
+    logs = []
+    result = train_run(
+        source,
+        forcing=("var_0",),
+        rollout_schedule=[(0, 1), (3, 2)],
+        variable_loss_weights={"var_1": 2.0, "var_3": 0.5},
+        steps=5,
+        peak_lr=2e-3,
+        seed=0,
+        log=logs.append,
+        **TINY,
+    )
+    assert result["steps_done"] == 5
+    assert np.isfinite(result["losses"]).all()
+    assert any("rollout curriculum: 1 -> 2" in m for m in logs)
+    with pytest.raises(ValueError, match="non-output"):
+        train_run(source, forcing=("var_0",), steps=1,
+                  variable_loss_weights={"var_0": 2.0},  # forcing, not output
+                  seed=0, log=lambda s: None, **TINY)

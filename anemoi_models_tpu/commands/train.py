@@ -50,6 +50,8 @@ class Train:
         parser.add_argument("--checkpoint-dir", default=None)
         parser.add_argument("--save-every", type=int, default=0)
         parser.add_argument("--resume", action="store_true")
+        parser.add_argument("--init-from", default=None,
+                            help="warm-start parameters from another checkpoint")
         parser.add_argument("--eval-every", type=int, default=0)
         parser.add_argument("--eval-rollout", type=int, default=4)
         parser.add_argument("--data-parallel", type=int, default=0,
@@ -114,6 +116,7 @@ class Train:
             checkpoint_dir=args.checkpoint_dir,
             save_every=args.save_every,
             resume=args.resume,
+            init_from=args.init_from,
             eval_every=args.eval_every,
             eval_rollout=args.eval_rollout,
             mesh=mesh,

@@ -74,6 +74,7 @@ def train_run(
     checkpoint_dir: Optional[str] = None,
     save_every: int = 0,
     resume: bool = False,
+    init_from: Optional[str] = None,
     eval_every: int = 0,
     eval_rollout: int = 4,
     mesh=None,
@@ -105,6 +106,11 @@ def train_run(
     stdevs, forcings pinned), and the natural objective is ``loss="crps"``
     (fair ensemble CRPS, the AIFS-CRPS recipe) — ``loss`` also accepts
     "mse" for deterministic training and works with either ensemble size.
+
+    ``init_from`` warm-starts from another run's checkpoint: parameters
+    and fitted processor state load, but the optimizer, schedule, and
+    sampler start fresh — the fine-tuning entry (e.g. pretrain with
+    ``loss="mse"``, then CRPS fine-tune into a new ``checkpoint_dir``).
 
     ``steps`` is the full training horizon (it sets the LR schedule);
     ``max_steps_this_run`` optionally boxes how many updates this invocation
@@ -299,6 +305,24 @@ def train_run(
         # distinct buffers: state and ema are both donated into the jitted step
         ema = jax.tree_util.tree_map(jnp.copy, state.params) if ema_decay is not None else None
         start_step = 0
+
+        if init_from and not (resume and ckpt_path and os.path.exists(ckpt_path)):
+            from anemoi_models_tpu.checkpoint import load_checkpoint
+
+            # untargeted restore: the donor checkpoint's optimizer subtree is
+            # irrelevant here (and may not match this run's), so no strict
+            # target — params keep their own structure and the optimizer
+            # state is rebuilt fresh over them (new schedule)
+            warm = load_checkpoint(init_from)
+            state = state._replace(
+                params=warm["params"], opt_state=optimizer.init(warm["params"])
+            )
+            if ema_decay is not None:
+                ema = jax.tree_util.tree_map(jnp.copy, state.params)
+            if "processor_state" in warm:
+                iface.pre_processors.load_state_dict(warm["processor_state"])
+                iface.post_processors.load_state_dict(warm["processor_state"])
+            log(f"warm-started parameters from {init_from}")
 
         if resume and ckpt_path and os.path.exists(ckpt_path):
             from anemoi_models_tpu.checkpoint import load_checkpoint

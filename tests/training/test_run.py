@@ -394,3 +394,26 @@ def test_train_run_rollout_curriculum_and_var_weights(source):
         train_run(source, forcing=("var_0",), steps=1,
                   variable_loss_weights={"var_0": 2.0},  # forcing, not output
                   seed=0, log=lambda s: None, **TINY)
+
+
+def test_train_run_warm_start(source, tmp_path):
+    """init_from fine-tuning: params load, optimizer/schedule start fresh."""
+    pre = train_run(
+        source, forcing=("var_0",), steps=3, peak_lr=2e-3,
+        checkpoint_dir=str(tmp_path / "pre"), seed=0, log=lambda s: None, **TINY,
+    )
+    logs = []
+    ft = train_run(
+        source, forcing=("var_0",), steps=2, peak_lr=1e-4, loss="crps",
+        ensemble=2, init_from=pre["checkpoint"],
+        checkpoint_dir=str(tmp_path / "ft"), seed=1, log=logs.append, **TINY,
+    )
+    assert any("warm-started" in m for m in logs)
+    assert ft["steps_done"] == 2 and np.isfinite(ft["losses"]).all()
+    # fine-tuned params moved away from the warm start
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(pre["state"].params),
+                        jax.tree_util.tree_leaves(ft["state"].params))
+    )
+    assert moved

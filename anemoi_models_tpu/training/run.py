@@ -84,6 +84,9 @@ def train_run(
     loader_depth: int = 4,
     loader_workers: int = 1,
     prefetch: int = 2,
+    handle_signals: bool = True,
+    profile_dir: Optional[str] = None,
+    profile_steps: tuple = (10, 13),
 ) -> dict:
     """Train a forecast model on ``source``; returns a run summary dict.
 
@@ -111,6 +114,12 @@ def train_run(
     and fitted processor state load, but the optimizer, schedule, and
     sampler start fresh — the fine-tuning entry (e.g. pretrain with
     ``loss="mse"``, then CRPS fine-tune into a new ``checkpoint_dir``).
+
+    With ``handle_signals`` (default, main thread only) SIGTERM/SIGINT
+    request a graceful stop: the loop finishes the in-flight update,
+    checkpoints, and returns — on preemptible TPU pods the eviction notice
+    becomes a clean resume point. ``profile_dir`` captures an xplane trace
+    of steps ``profile_steps=[start, stop)``.
 
     ``steps`` is the full training horizon (it sets the LR schedule);
     ``max_steps_this_run`` optionally boxes how many updates this invocation
@@ -379,6 +388,26 @@ def train_run(
         if remaining <= 0:
             log(f"checkpoint already at step {start_step} >= steps={steps}; nothing to do")
 
+        stop_requested = []
+        if handle_signals:
+            import signal
+            import threading
+
+            if threading.current_thread() is threading.main_thread():
+                def _request_stop(signum, frame):
+                    log(f"signal {signum}: finishing the in-flight step, then "
+                        "checkpointing and stopping")
+                    stop_requested.append(signum)
+
+                prev_handlers = {
+                    sig: signal.signal(sig, _request_stop)
+                    for sig in (signal.SIGTERM, signal.SIGINT)
+                }
+            else:
+                prev_handlers = {}
+        else:
+            prev_handlers = {}
+
         loader = BatchLoader(source, sampler, depth=loader_depth,
                              max_batches=remaining, workers=loader_workers)
         t_seg, i_seg = time.perf_counter(), 0
@@ -418,8 +447,29 @@ def train_run(
                     )
                 if save_every and ckpt_path and step_no % save_every == 0:
                     save(step_no)
+                if profile_dir and step_no - start_step == profile_steps[0]:
+                    jax.profiler.start_trace(profile_dir)
+                if profile_dir and step_no - start_step == profile_steps[1]:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
+                    log(f"profile trace written to {profile_dir}")
+                if stop_requested:
+                    final_step = step_no
+                    save(final_step)
+                    iface.params = state.params
+                    log(f"stopped at step {step_no} on request; checkpoint saved")
+                    return {
+                        "state": state, "ema": ema, "interface": iface,
+                        "graph": graph, "losses": losses, "eval": evals,
+                        "steps_done": step_no, "checkpoint": ckpt_path,
+                        "interrupted": True,
+                    }
         finally:
             loader.close()
+            for sig, handler in prev_handlers.items():
+                import signal
+
+                signal.signal(sig, handler)
 
         final_step = start_step + max(remaining, 0)
         if ckpt_path and remaining > 0:

@@ -417,3 +417,52 @@ def test_train_run_warm_start(source, tmp_path):
                         jax.tree_util.tree_leaves(ft["state"].params))
     )
     assert moved
+
+
+def test_train_run_sigterm_checkpoint(tmp_path):
+    """SIGTERM mid-run checkpoints gracefully; resume continues the run."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+    import time as _time
+
+    script = textwrap.dedent("""
+        import sys
+        sys.path.insert(0, %r)
+        from anemoi_models_tpu.graphs import latlon_grid_nodes
+        from anemoi_models_tpu.training import train_run
+        from anemoi_models_tpu.training.dataset import SyntheticSource
+
+        coords = latlon_grid_nodes(8).coords
+        source = SyntheticSource(coords, num_vars=4, num_steps=48, seed=1)
+        result = train_run(
+            source, forcing=("var_0",), steps=500, batch_size=2,
+            mesh_refinements=1,
+            model_kwargs=dict(num_channels=16, num_layers=2, num_heads=2,
+                              num_chunks=1, trainable_hidden=2, trainable_edges=2),
+            peak_lr=1e-3, checkpoint_dir=%r, seed=0, log_every=1,
+        )
+        print("INTERRUPTED" if result.get("interrupted") else "FINISHED", flush=True)
+    """) % (os.getcwd(), str(tmp_path))
+    env = {**os.environ, "PYTHONPATH": "", "JAX_PLATFORMS": "cpu"}
+    proc = subprocess.Popen([sys.executable, "-c", script], env=env,
+                            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    # wait for training to produce at least one metrics record, then SIGTERM
+    metrics = tmp_path / "metrics.jsonl"
+    deadline = _time.time() + 240
+    while _time.time() < deadline and not metrics.exists():
+        _time.sleep(1.0)
+        assert proc.poll() is None, proc.stdout.read()
+    assert metrics.exists(), "training never reached a logged step"
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=120)
+    assert "INTERRUPTED" in out, out
+    assert "checkpoint saved" in out
+
+    # resume picks up from the interrupted step
+    from anemoi_models_tpu.checkpoint import load_checkpoint
+
+    restored = load_checkpoint(str(tmp_path / "latest"))
+    assert 0 < int(restored["step"]) < 500

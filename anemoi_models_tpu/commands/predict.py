@@ -130,6 +130,9 @@ class Predict:
                     for k, v in source.statistics.items()
                 },
             )
+            if args.ensemble > 1:  # sidecar arrays: the dataset holds the mean
+                np.save(os.path.join(args.output, "members.npy"), members)
+                np.save(os.path.join(args.output, "ens_std.npy"), members.std(axis=1))
         ens = f" ({args.ensemble}-member mean)" if args.ensemble > 1 else ""
         print(f"forecast: {args.steps} steps x {fc.shape[1]} points x "
               f"{len(out_names)} vars{ens} -> {args.output}")

@@ -12,6 +12,23 @@ from __future__ import annotations
 from anemoi_models_tpu.commands import register_command
 
 
+def _parse_schedule(text):
+    """'0:1,5000:2' -> [(0, 1), (5000, 2)]; clear errors for malformed input."""
+    if not text:
+        return None
+    out = []
+    for part in text.split(","):
+        fields = part.split(":")
+        if len(fields) != 2 or not all(f.strip().lstrip("-").isdigit() for f in fields):
+            raise SystemExit(
+                f"--rollout-schedule: expected 'step:length' pairs, got {part!r}"
+            )
+        out.append((int(fields[0]), int(fields[1])))
+    if not any(s == 0 for s, _ in out):
+        raise SystemExit("--rollout-schedule must include a step-0 entry")
+    return out
+
+
 @register_command("train")
 class Train:
     """Train a forecast model on a dataset (memmap dir, .h5, or synthetic)."""
@@ -103,11 +120,7 @@ class Train:
             steps=args.steps,
             batch_size=args.batch_size,
             rollout=args.rollout,
-            rollout_schedule=(
-                [tuple(int(x) for x in part.split(":"))
-                 for part in args.rollout_schedule.split(",")]
-                if args.rollout_schedule else None
-            ),
+            rollout_schedule=_parse_schedule(args.rollout_schedule),
             ensemble=args.ensemble,
             perturb_sigma=args.perturb_sigma,
             loss=args.loss or ("crps" if args.ensemble > 1 else "mse"),

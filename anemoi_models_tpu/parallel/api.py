@@ -121,7 +121,8 @@ def make_hybrid_mesh(
         # tests): the DCN factor is layout-only — consecutive devices stay
         # in the same model group, mirroring the hybrid order
         n = dcn_data * ici_data * model
-        assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
-        devices = np.asarray(devices[:n]).reshape(dcn_data * ici_data, model)
+        if len(devices) < n:
+            raise ValueError(f"hybrid mesh needs {n} devices, have {len(devices)}")
+        devices = devices[:n]
     devices = np.asarray(devices).reshape(dcn_data * ici_data, model)
     return Mesh(devices, axis_names=("data", "model"))

@@ -134,7 +134,11 @@ def evaluate_interface(
             float(crps_ensemble(members[t], truth[t], node_weights=area))
             for t in range(n_steps)
         ])
-        spread = np.asarray(jnp.sqrt((members.var(axis=2)).mean(axis=(1, 2, 3))))
+        # fair (ddof=1) member variance, area-weighted over the grid so the
+        # ratio against the area-weighted RMSE is meaningful
+        w = area / area.sum()
+        var = members.var(axis=2, ddof=1)  # (steps, b, grid, vp)
+        spread = np.asarray(jnp.sqrt((var * w[:, None]).sum(axis=2).mean(axis=(1, 2))))
         mean_rmse = rollout_scores(
             members.mean(axis=2, keepdims=True), truth, node_weights=area
         )["rmse"].mean(axis=1)

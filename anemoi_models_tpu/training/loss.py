@@ -43,8 +43,9 @@ def crps_ensemble(
     target: jnp.ndarray,
     node_weights: Optional[jnp.ndarray] = None,
     variable_weights: Optional[jnp.ndarray] = None,
+    loss_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Area/variable-weighted fair ensemble CRPS (the AIFS-CRPS objective).
+    """Area/variable-weighted masked fair ensemble CRPS (AIFS-CRPS objective).
 
     ``pred``: (..., M, grid, vars) with M ensemble members on axis −3;
     ``target``: same shape with size 1 there (or no ensemble axis at all).
@@ -68,6 +69,8 @@ def crps_ensemble(
     else:
         spread = jnp.zeros_like(skill)
     crps = skill - spread
+    if loss_mask is not None:  # imputed points carry no skill signal
+        crps = crps * loss_mask
     if variable_weights is not None:
         crps = crps * variable_weights
     if node_weights is not None:
@@ -77,18 +80,22 @@ def crps_ensemble(
 
 
 class WeightedCRPSLoss:
-    """Callable bundling static weights with :func:`crps_ensemble`."""
+    """Callable bundling static weights/mask with :func:`crps_ensemble`."""
 
     def __init__(
         self,
         node_weights: Optional[jnp.ndarray] = None,
         variable_weights: Optional[jnp.ndarray] = None,
+        loss_mask: Optional[jnp.ndarray] = None,
     ) -> None:
         self.node_weights = node_weights
         self.variable_weights = variable_weights
+        self.loss_mask = loss_mask
 
     def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-        return crps_ensemble(pred, target, self.node_weights, self.variable_weights)
+        return crps_ensemble(
+            pred, target, self.node_weights, self.variable_weights, self.loss_mask
+        )
 
 
 class WeightedMSELoss:

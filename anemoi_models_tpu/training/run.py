@@ -176,7 +176,8 @@ def train_run(
     multi_step = int(config.training.multistep_input)
     if rollout_schedule:
         sched = sorted((int(u), int(r)) for u, r in rollout_schedule)
-        assert sched[0][0] == 0, "rollout_schedule must define a length from step 0"
+        if sched[0][0] != 0:
+            raise ValueError("rollout_schedule must define a length from step 0")
     else:
         sched = [(0, rollout)]
     max_rollout = max(r for _, r in sched)
@@ -205,6 +206,18 @@ def train_run(
     first = ingest(source.window(0, window)[None])
     iface.fit_processors(jnp.asarray(first))
 
+    warm = None
+    if init_from:
+        from anemoi_models_tpu.checkpoint import load_checkpoint
+
+        # untargeted restore: the donor's optimizer subtree is irrelevant
+        # (this run's optimizer starts fresh); restore the donor's fitted
+        # processor state NOW, before the loss captures the imputer mask
+        warm = load_checkpoint(init_from)
+        if "processor_state" in warm:
+            iface.pre_processors.load_state_dict(warm["processor_state"])
+            iface.post_processors.load_state_dict(warm["processor_state"])
+
     area = jnp.asarray(graph["data"].attrs["area_weight"][:, 0])
     var_w = None
     if variable_loss_weights:
@@ -217,7 +230,8 @@ def train_run(
             var_w[out_n2i[name]] = wgt
         var_w = jnp.asarray(var_w)
     if loss == "crps":
-        loss_fn = WeightedCRPSLoss(node_weights=area, variable_weights=var_w)
+        loss_fn = WeightedCRPSLoss(node_weights=area, variable_weights=var_w,
+                                   loss_mask=_loss_mask(iface.pre_processors))
     else:
         assert loss == "mse", f"loss must be 'mse' or 'crps', got {loss!r}"
         loss_fn = WeightedMSELoss(node_weights=area, variable_weights=var_w,
@@ -231,17 +245,14 @@ def train_run(
 
     # one compiled step program per distinct rollout length (the curriculum
     # switches between them; parameters/optimizer state are shared)
-    init_state = make_train_step(iface.model, optimizer, loss_fn)[0]
-    _cores: dict = {}
+    init_state, _core_1 = make_train_step(iface.model, optimizer, loss_fn)
+    _cores: dict = {1: _core_1}
 
     def step_core_for(r: int):
         if r not in _cores:
-            if r == 1:
-                _cores[r] = make_train_step(iface.model, optimizer, loss_fn)[1]
-            else:
-                _cores[r] = make_rollout_train_step(
-                    iface.model, indices, optimizer, r, loss_fn
-                )[1]
+            _cores[r] = make_rollout_train_step(
+                iface.model, indices, optimizer, r, loss_fn
+            )[1]
         return _cores[r]
 
     forcing_in = np.asarray(indices.internal_model.input.forcing)
@@ -315,22 +326,12 @@ def train_run(
         ema = jax.tree_util.tree_map(jnp.copy, state.params) if ema_decay is not None else None
         start_step = 0
 
-        if init_from and not (resume and ckpt_path and os.path.exists(ckpt_path)):
-            from anemoi_models_tpu.checkpoint import load_checkpoint
-
-            # untargeted restore: the donor checkpoint's optimizer subtree is
-            # irrelevant here (and may not match this run's), so no strict
-            # target — params keep their own structure and the optimizer
-            # state is rebuilt fresh over them (new schedule)
-            warm = load_checkpoint(init_from)
+        if warm is not None and not (resume and ckpt_path and os.path.exists(ckpt_path)):
             state = state._replace(
                 params=warm["params"], opt_state=optimizer.init(warm["params"])
             )
             if ema_decay is not None:
                 ema = jax.tree_util.tree_map(jnp.copy, state.params)
-            if "processor_state" in warm:
-                iface.pre_processors.load_state_dict(warm["processor_state"])
-                iface.post_processors.load_state_dict(warm["processor_state"])
             log(f"warm-started parameters from {init_from}")
 
         if resume and ckpt_path and os.path.exists(ckpt_path):
@@ -361,6 +362,16 @@ def train_run(
 
         iface.params = state.params
 
+        # the background loader pulls ahead of training, so sampler.state()
+        # overshoots mid-run saves by the queue depth; reconstruct the exact
+        # position for a given trained-step count from the pre-loader base
+        base_epoch, base_pos = sampler.epoch, sampler.position
+        bpe = sampler.batches_per_epoch
+
+        def sampler_state_at(consumed: int) -> dict:
+            total = base_epoch * bpe + base_pos + consumed
+            return {"epoch": total // bpe, "position": total % bpe, "seed": sampler.seed}
+
         def save(step_no: int) -> None:
             if not ckpt_path:
                 return
@@ -371,7 +382,7 @@ def train_run(
             # statistics, variable table) — directly servable via
             # AnemoiModelInterface.from_checkpoint
             iface.params = state.params
-            iface.metadata["sampler"] = sampler.state()
+            iface.metadata["sampler"] = sampler_state_at(step_no - start_step)
             iface.save(ckpt_path, opt_state=opt_tree, step=step_no, include_graph=False)
 
         sharding = None
@@ -411,6 +422,7 @@ def train_run(
         loader = BatchLoader(source, sampler, depth=loader_depth,
                              max_batches=remaining, workers=loader_workers)
         t_seg, i_seg = time.perf_counter(), 0
+        profiling = False
         try:
             stream = device_prefetch(
                 (ingest(b) for b in loader), prefetch=prefetch, sharding=sharding
@@ -449,9 +461,11 @@ def train_run(
                     save(step_no)
                 if profile_dir and step_no - start_step == profile_steps[0]:
                     jax.profiler.start_trace(profile_dir)
-                if profile_dir and step_no - start_step == profile_steps[1]:
+                    profiling = True
+                if profiling and step_no - start_step >= profile_steps[1]:
                     jax.block_until_ready(loss)
                     jax.profiler.stop_trace()
+                    profiling = False
                     log(f"profile trace written to {profile_dir}")
                 if stop_requested:
                     final_step = step_no
@@ -465,6 +479,12 @@ def train_run(
                         "interrupted": True,
                     }
         finally:
+            if profiling:  # run ended before the stop step: flush the trace
+                try:
+                    jax.profiler.stop_trace()
+                    log(f"profile trace written to {profile_dir} (early stop)")
+                except Exception:
+                    pass
             loader.close()
             for sig, handler in prev_handlers.items():
                 import signal

@@ -57,6 +57,7 @@ class MultiHeadSelfAttention(nn.Module):
             impl == "auto"
             and self.window_size is not None
             and drop_rate == 0.0
+            and not self.is_causal
             and mesh is not None
             and "model" in mesh.axis_names
             and mesh.shape["model"] > 1
@@ -70,6 +71,11 @@ class MultiHeadSelfAttention(nn.Module):
                 raise NotImplementedError(
                     "halo attention does not support attention-weight dropout; "
                     "train with attention_impl='auto'/'chunked' or dropout_p=0"
+                )
+            if self.is_causal:
+                raise NotImplementedError(
+                    "halo attention has no causal mask; use attention_impl="
+                    "'chunked' (is_causal is honored there)"
                 )
             # sequence-parallel windowed attention: keep the sequence sharded
             # and exchange only ±window halos of k/v over the ring

@@ -209,6 +209,10 @@ class _GraphTransformerBase(nn.Module):
 
     @property
     def out_channels_conv(self) -> int:
+        assert self.out_channels % self.num_heads == 0, (
+            f"out_channels ({self.out_channels}) must be divisible by "
+            f"num_heads ({self.num_heads})"
+        )
         return self.out_channels // self.num_heads
 
     def _heads(self, t: jnp.ndarray) -> jnp.ndarray:

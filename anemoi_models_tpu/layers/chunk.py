@@ -102,7 +102,6 @@ class GraphTransformerProcessorChunk(nn.Module):
     num_heads: int = 16
     mlp_hidden_ratio: int = 4
     activation: str = "GELU"
-    edge_dim: Optional[int] = None
     deterministic: bool = True
     dtype: jnp.dtype = jnp.float32
 

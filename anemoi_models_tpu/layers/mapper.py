@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 
 from anemoi_models_tpu.graphs.container import EdgeSet
-from anemoi_models_tpu.graphs.partition import edge_set_bucketed_tables
 from anemoi_models_tpu.layers.block import GraphConvMapperBlock, GraphTransformerMapperBlock
 from anemoi_models_tpu.layers.graph import TrainableTensor
 from anemoi_models_tpu.layers.mlp import MLP

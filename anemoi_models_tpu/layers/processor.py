@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from anemoi_models_tpu.graphs.container import EdgeSet
-from anemoi_models_tpu.graphs.partition import edge_set_bucketed_tables
 from anemoi_models_tpu.layers.chunk import (
     GNNProcessorChunk,
     GraphTransformerProcessorChunk,
@@ -309,7 +308,6 @@ class GraphTransformerProcessor(nn.Module):
                 num_heads=self.num_heads,
                 mlp_hidden_ratio=self.mlp_hidden_ratio,
                 activation=self.activation,
-                edge_dim=edge_dim,
                 deterministic=self.deterministic,
                 dtype=self.dtype,
                 name=f"proc_{c}",
@@ -397,27 +395,53 @@ class HaloGNNProcessor(nn.Module):
                 "b2": self.param(f"conv_{i}_b2", nn.initializers.zeros, (self.num_channels,), jnp.float32),
                 "w3": self.param(f"conv_{i}_w3", nn.initializers.lecun_normal(), (self.num_channels, self.num_channels), jnp.float32),
                 "b3": self.param(f"conv_{i}_b3", nn.initializers.zeros, (self.num_channels,), jnp.float32),
+                # final LayerNorm matching GraphConv's MLP(layer_norm=True)
+                "ln_s": self.param(f"conv_{i}_ln_s", nn.initializers.ones, (self.num_channels,), jnp.float32),
+                "ln_b": self.param(f"conv_{i}_ln_b", nn.initializers.zeros, (self.num_channels,), jnp.float32),
             }
+            # edge-space work ((E, 3C) concat + MLP intermediates) dominates
+            # memory: rematerialize it per layer in the backward
+            # (cpu_offload saves matmul outputs to pinned host memory instead)
+            if self.cpu_offload:
+                import functools
+
+                ckpt = functools.partial(
+                    jax.checkpoint,
+                    policy=jax.checkpoint_policies.offload_dot_with_no_batch_dims(
+                        "device", "pinned_host"
+                    ),
+                )
+            else:
+                ckpt = jax.checkpoint
             if use_halo:
                 # updated edges stay shard-local between layers — same
                 # threading as GNNProcessor's edges_new, zero extra comms
-                agg, edge_sharded = halo_graph_conv(
-                    mesh, part, conv_params, x, edge_sharded,
-                    activation=self.activation, tables=gnn_tables,
-                )
+                def _halo_layer(x_, edges_, params_):
+                    return halo_graph_conv(
+                        mesh, part, params_, x_, edges_,
+                        activation=self.activation, tables=gnn_tables,
+                    )
+
+                agg, edge_sharded = ckpt(_halo_layer)(x, edge_sharded, conv_params)
             else:
+                from anemoi_models_tpu.ops.dense_graph import bucketed_neighbor_sum
                 from anemoi_models_tpu.parallel.halo_conv import apply_edge_mlp
 
                 src, dst = edge_index
-                x_i = jnp.take(x, dst, axis=-2)
-                x_j = jnp.take(x, src, axis=-2)
-                msg = apply_edge_mlp(
-                    conv_params, jnp.concatenate([x_i, x_j, edge_attr], -1), self.activation
-                ) + edge_attr
-                edge_attr = msg  # thread updated edge features to the next layer
-                from anemoi_models_tpu.ops.dense_graph import bucketed_neighbor_sum
 
-                agg = bucketed_neighbor_sum(msg, tables[0], tables[1])
+                def _dense_layer(x_, edges_, params_):
+                    x_i = jnp.take(x_, dst, axis=-2)
+                    x_j = jnp.take(x_, src, axis=-2)
+                    msg = apply_edge_mlp(
+                        params_, jnp.concatenate([x_i, x_j, edges_], -1), self.activation
+                    ) + edges_
+                    # transpose bundle keeps the aggregation's backward
+                    # gather-only (no scatter-adds)
+                    return bucketed_neighbor_sum(
+                        msg, tables[0], tables[1], transpose=tables[2]
+                    ), msg
+
+                agg, edge_attr = ckpt(_dense_layer)(x, edge_attr, conv_params)
             x = MLP(
                 hidden_dim=self.num_channels,
                 out_features=self.num_channels,

@@ -55,10 +55,23 @@ def graph_conv_params(
 
 
 def apply_edge_mlp(params: dict, x: jnp.ndarray, activation: str = "SiLU") -> jnp.ndarray:
+    """Dense-act-Dense-act-Dense[-LayerNorm], GraphConv's edge-MLP layout.
+
+    The final fp32-stat LayerNorm (AutocastLayerNorm semantics) applies when
+    ``ln_s``/``ln_b`` are present — matching the MLP(layer_norm=True) the
+    GNNProcessor blocks use, so the halo flavor is a numerical drop-in.
+    """
     act = get_activation(activation)
+    dt = x.dtype
     x = act(x @ params["w1"] + params["b1"])
     x = act(x @ params["w2"] + params["b2"])
-    return x @ params["w3"] + params["b3"]
+    x = x @ params["w3"] + params["b3"]
+    if "ln_s" in params:
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = xf.var(-1, keepdims=True)
+        x = ((xf - mu) * jax.lax.rsqrt(var + 1e-6) * params["ln_s"] + params["ln_b"]).astype(dt)
+    return x
 
 
 def halo_graph_conv(

@@ -26,9 +26,11 @@ import numpy as np
 
 __all__ = [
     "EdgeKernelPlan",
+    "HaloBucketedTables",
     "HaloGNNTables",
     "ShardedKernelPlan",
     "build_edge_kernel_plan",
+    "build_halo_bucketed_tables",
     "build_halo_gnn_tables",
     "build_halo_kernel_plans",
     "edge_set_kernel_plan",
@@ -550,6 +552,102 @@ def build_halo_gnn_tables(part) -> HaloGNNTables:
         t_contrib=t_contrib,
         t_halo=t_halo,
         edge_pos=edge_pos,
+    )
+
+
+@dataclass(eq=False)
+class HaloBucketedTables:
+    """Degree-bucketed per-shard gather layouts for the halo GraphConv —
+    the skewed-graph twin of :class:`HaloGNNTables`.
+
+    The flat layouts pad every destination (source) to the worst per-shard
+    multiplicity; on skewed graphs (a hub node of degree 200 over a mean of
+    6) that padding dwarfs the live rows and the flat path loses to segment
+    ops. Here each shard's rows are split into power-of-two degree buckets
+    with caps and per-bucket row counts shared across shards (padded to the
+    max), so the stacked arrays stay rectangular and every shard runs the
+    same SPMD program. Forward aggregation and every gather adjoint are
+    per-bucket takes + static-width masked reductions — still zero HLO
+    scatters in either direction.
+
+    Arrays lead with the shard axis; ``*_buckets`` entries are
+    ``(pos_tab (S, nb, cap) int32, mask (S, nb, cap) bool)`` where pos_tab
+    holds edge positions in the shard-local (E_pad) edge list."""
+
+    dst_buckets: tuple  # positions per destination row, bucketed by in-degree
+    dst_reassemble: np.ndarray  # (S, nps) int32 — row slot in the bucket concat
+    src_buckets: tuple  # positions per extended (local+halo) source row
+    src_reassemble: np.ndarray  # (S, ext) int32
+    pos_dst: np.ndarray  # (S, E_pad) int32 — destination row per position, −1 dead
+    pos_src: np.ndarray  # (S, E_pad) int32 — ext source row per position, −1 dead
+    # shared with HaloGNNTables: halo-exchange inverses + edge-threading slots
+    t_contrib: tuple = None
+    t_halo: tuple = None
+    edge_pos: np.ndarray = None
+
+
+def _stack_bucketed(per_shard: list) -> tuple[tuple, np.ndarray]:
+    """Align per-shard ``transpose_position_tables`` outputs by bucket cap
+    and stack over the shard axis. Bucket row counts pad to the per-cap max
+    across shards; ``reassemble`` is recomputed against the padded concat
+    layout (identical bucket offsets on every shard)."""
+    s_count = len(per_shard)
+    rows = len(per_shard[0][1])
+    # bucket tuples are (row_ids, pair_ids, positions, mask); cap = mask width
+    by_cap = [{b[3].shape[1]: b for b in bl} for bl, _ in per_shard]
+    caps = sorted(set().union(*(d.keys() for d in by_cap)))
+    stacked = []
+    reassemble = np.zeros((s_count, rows), np.int32)
+    offset = 0
+    for cap in caps:
+        nb = max((len(d[cap][0]) if cap in d else 0) for d in by_cap)
+        pos_tab = np.zeros((s_count, nb, cap), np.int32)
+        mask = np.zeros((s_count, nb, cap), bool)
+        for s, d in enumerate(by_cap):
+            if cap not in d:
+                continue
+            row_ids, _, pos, m = d[cap]
+            k = len(row_ids)
+            pos_tab[s, :k] = pos
+            mask[s, :k] = m
+            reassemble[s, row_ids] = offset + np.arange(k, dtype=np.int32)
+        stacked.append((pos_tab, mask))
+        offset += nb
+    return tuple(stacked), reassemble
+
+
+def build_halo_bucketed_tables(part) -> HaloBucketedTables:
+    """Degree-bucketed per-shard gather layouts from a
+    :class:`~anemoi_models_tpu.graphs.partition.HaloPartition`."""
+    from anemoi_models_tpu.graphs.partition import transpose_position_tables
+
+    s_count, nps = part.num_shards, part.nodes_per_shard
+    ext = nps + part.halo_select.shape[1]
+    e_pad = part.local_edges.shape[1]
+    dst_ps, src_ps = [], []
+    pos_dst = np.full((s_count, e_pad), -1, np.int32)
+    pos_src = np.full((s_count, e_pad), -1, np.int32)
+    for s in range(s_count):
+        live = part.edge_mask[s]
+        pos_dst[s] = np.where(live, part.local_edges[s][:, 1], -1)
+        pos_src[s] = np.where(live, part.local_edges[s][:, 0], -1)
+        dst_ps.append(transpose_position_tables(pos_dst[s], nps))
+        src_ps.append(transpose_position_tables(pos_src[s], ext))
+    dst_buckets, dst_re = _stack_bucketed(dst_ps)
+    src_buckets, src_re = _stack_bucketed(src_ps)
+    t_contrib, t_halo = _exchange_transpose_tables(part)
+
+    num_edges = int(part.edge_mask.sum())
+    edge_pos = np.full(num_edges, -1, dtype=np.int32)
+    for s in range(s_count):
+        pos = np.nonzero(part.edge_mask[s])[0]
+        edge_pos[part.edge_ids[s][pos]] = (s * e_pad + pos).astype(np.int32)
+
+    return HaloBucketedTables(
+        dst_buckets=dst_buckets, dst_reassemble=dst_re,
+        src_buckets=src_buckets, src_reassemble=src_re,
+        pos_dst=pos_dst, pos_src=pos_src,
+        t_contrib=t_contrib, t_halo=t_halo, edge_pos=edge_pos,
     )
 
 

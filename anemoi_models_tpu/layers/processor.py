@@ -64,10 +64,14 @@ def _halo_part(sub_graph: EdgeSet, num_dst: int, shards: int):
 
 
 def _halo_gnn_layout(sub_graph: EdgeSet, num_dst: int, shards: int):
-    """(partition, HaloGNNTables-or-None): the scatter-free gather layouts,
-    unless the worst-shard max degree makes the flat padding ruinous (skewed
-    graphs keep the segment path)."""
-    from anemoi_models_tpu.graphs.kernel_plan import build_halo_gnn_tables
+    """(partition, tables): the scatter-free gather layouts — flat padded
+    (``HaloGNNTables``) when degrees are near-uniform, degree-bucketed
+    (``HaloBucketedTables``) when the worst-shard max degree would make the
+    flat padding ruinous (skewed graphs: hub nodes, polar lat/lon rows)."""
+    from anemoi_models_tpu.graphs.kernel_plan import (
+        build_halo_bucketed_tables,
+        build_halo_gnn_tables,
+    )
 
     part, cache = _halo_part(sub_graph, num_dst, shards)
     gkey = ("halo_gnn_tables", num_dst, shards)
@@ -75,7 +79,8 @@ def _halo_gnn_layout(sub_graph: EdgeSet, num_dst: int, shards: int):
         tables = build_halo_gnn_tables(part)
         mean_deg = float(part.edge_mask.sum()) / max(num_dst, 1)
         if tables.dst_tab.shape[2] > max(32.0, 4.0 * mean_deg):
-            tables = None  # padded width would dwarf the mean degree
+            # padded width would dwarf the mean degree: bucket it instead
+            tables = build_halo_bucketed_tables(part)
         cache[gkey] = tables
     return part, cache[gkey]
 

@@ -143,6 +143,71 @@ class GatherTables:
         return iter((self.buckets, self.reassemble, self.transpose))
 
 
+def _bucketed_sum_impl(v: jnp.ndarray, buckets, reassemble) -> jnp.ndarray:
+    """Shared body of the bucketed position-sum: per-bucket take + masked
+    static-width reduce, then one reassemble take. v (..., P, C) ->
+    (..., rows, C). ``buckets`` entries are (pos_tab (nb, cap), mask)."""
+    outs = []
+    for pos_tab, mask in buckets:
+        g = jnp.take(v, pos_tab, axis=-2)  # (..., nb, cap, C)
+        outs.append(jnp.where(mask[..., None], g, 0).sum(axis=-2))
+    cat = jnp.concatenate(outs, axis=-2)
+    return jnp.take(cat, reassemble, axis=-2)
+
+
+def _f0_like(tree):
+    import numpy as _np
+
+    f0 = jax.dtypes.float0
+    return jax.tree_util.tree_map(lambda a: _np.zeros(a.shape, dtype=f0), tree)
+
+
+@jax.custom_vjp
+def bucketed_position_sum(v: jnp.ndarray, buckets, reassemble, pos_ids):
+    """Sum per-position values into rows via degree-bucketed position
+    tables. Its adjoint is one masked take at ``pos_ids`` (the row each
+    position feeds, −1 = dead) — scatter-free both ways. Layout arrays are
+    primal args (traced-safe inside shard_map)."""
+    return _bucketed_sum_impl(v, buckets, reassemble)
+
+
+def _bps_fwd(v, buckets, reassemble, pos_ids):
+    out = _bucketed_sum_impl(v, buckets, reassemble)
+    return out, (jnp.zeros((), v.dtype), buckets, reassemble, pos_ids)
+
+
+def _bps_bwd(res, g):
+    carrier, buckets, reassemble, pos_ids = res
+    dv = _masked_pos_take(g, pos_ids, pos_ids.shape[0], axis=-2).astype(carrier.dtype)
+    return dv, _f0_like(buckets), _f0_like(reassemble), _f0_like(pos_ids)
+
+
+bucketed_position_sum.defvjp(_bps_fwd, _bps_bwd)
+
+
+@jax.custom_vjp
+def position_gather(x: jnp.ndarray, pos_ids, buckets, reassemble):
+    """Masked row gather ``x (..., rows, C) -> (..., P, C)`` at ``pos_ids``
+    (−1 = zero row) whose adjoint is :func:`bucketed_position_sum` over the
+    same tables — the exact transpose pair, so a gather-heavy graph conv
+    stays scatter-free through arbitrary differentiation."""
+    return _masked_pos_take(x, pos_ids, pos_ids.shape[0], axis=-2)
+
+
+def _pg_fwd(x, pos_ids, buckets, reassemble):
+    out = _masked_pos_take(x, pos_ids, pos_ids.shape[0], axis=-2)
+    return out, (jnp.zeros((), x.dtype), pos_ids, buckets, reassemble)
+
+
+def _pg_bwd(res, g):
+    carrier, pos_ids, buckets, reassemble = res
+    dx = _bucketed_sum_impl(g, buckets, reassemble).astype(carrier.dtype)
+    return dx, _f0_like(pos_ids), _f0_like(buckets), _f0_like(reassemble)
+
+
+position_gather.defvjp(_pg_fwd, _pg_bwd)
+
+
 def take_rows(x: jnp.ndarray, ids, axis: int, adjoint=None) -> jnp.ndarray:
     """``jnp.take`` whose backward is a custom gather instead of XLA's
     scatter-add (serialized on TPU). ``adjoint(g) -> grad_x`` must implement

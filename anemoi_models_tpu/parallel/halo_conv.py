@@ -108,6 +108,8 @@ def halo_graph_conv(
     segment ops).
     """
     apply_fn = apply_fn or (lambda p, cat: apply_edge_mlp(p, cat, activation))
+    from anemoi_models_tpu.graphs.kernel_plan import HaloBucketedTables
+
     bc = jnp.asarray(part.boundary_contrib)
     hs = jnp.asarray(part.halo_select)
     hm = jnp.asarray(part.halo_mask)
@@ -115,8 +117,21 @@ def halo_graph_conv(
     em = jnp.asarray(part.edge_mask)
     x_pad = pad_nodes(x, part)
     batched_edges = edge_attr_sharded.ndim == 4
+    bucketed = isinstance(tables, HaloBucketedTables)
+    n_dst_buckets = len(tables.dst_buckets) if bucketed else 0
     tab_arrays = ()
-    if tables is not None:
+    if bucketed:
+        # flat order: exchange inverses, position ids, reassembles, then the
+        # per-bucket (pos_tab, mask) pairs — dst buckets first
+        tab_arrays = tuple(
+            jnp.asarray(a)
+            for a in (*tables.t_contrib, *tables.t_halo,
+                      tables.pos_dst, tables.pos_src,
+                      tables.dst_reassemble, tables.src_reassemble,
+                      *(a for pair in tables.dst_buckets for a in pair),
+                      *(a for pair in tables.src_buckets for a in pair))
+        )
+    elif tables is not None:
         tab_arrays = tuple(
             jnp.asarray(a)
             for a in (tables.dst_tab, tables.dst_mask, tables.dst_inv,
@@ -125,10 +140,16 @@ def halo_graph_conv(
         )
 
     def local(x_blk, bc_blk, hs_blk, hm_blk, le_blk, em_blk, e_blk, p, *tabs):
-        from anemoi_models_tpu.ops.dense_graph import padded_take, table_take
+        from anemoi_models_tpu.ops.dense_graph import (
+            bucketed_position_sum,
+            padded_take,
+            position_gather,
+            table_take,
+        )
 
         if tabs:
-            tc_t, tc_m, th_t, th_m = (t[0] for t in tabs[5:9])
+            off = 0 if bucketed else 5
+            tc_t, tc_m, th_t, th_m = (t[0] for t in tabs[off : off + 4])
             contrib = jax.vmap(lambda xb: padded_take(xb, bc_blk[0], tc_t, tc_m))(x_blk)
         else:
             contrib = jnp.take(x_blk, bc_blk[0], axis=1)
@@ -141,7 +162,14 @@ def halo_graph_conv(
         x_ext = jnp.concatenate([x_blk, halo], axis=1)
 
         edges = le_blk[0]
-        if tabs:
+        if bucketed:
+            pos_dst, pos_src, dst_re, src_re = (t[0] for t in tabs[4:8])
+            pairs = [t[0] for t in tabs[8:]]
+            db = tuple(zip(pairs[0 : 2 * n_dst_buckets : 2], pairs[1 : 2 * n_dst_buckets : 2]))
+            sb = tuple(zip(pairs[2 * n_dst_buckets :: 2], pairs[2 * n_dst_buckets + 1 :: 2]))
+            x_j = position_gather(x_ext, pos_src, sb, src_re)
+            x_i = position_gather(x_blk, pos_dst, db, dst_re)
+        elif tabs:
             d_tab, d_mask, d_inv, s_tab, s_mask = (t[0] for t in tabs[:5])
             x_j = jax.vmap(lambda xb: padded_take(xb, edges[:, 0], s_tab, s_mask))(x_ext)
             x_i = jax.vmap(lambda xb: padded_take(xb, edges[:, 1], d_tab, d_mask))(x_blk)
@@ -154,7 +182,9 @@ def halo_graph_conv(
             e = jnp.broadcast_to(e_blk[0][None], x_i.shape)
         msg = apply_fn(p, jnp.concatenate([x_i, x_j, e], axis=-1)) + e
         msg = msg * em_blk[0][None, :, None].astype(msg.dtype)
-        if tabs:
+        if bucketed:
+            agg = bucketed_position_sum(msg, db, dst_re, pos_dst)
+        elif tabs:
             agg = jax.vmap(
                 lambda mb: table_take(mb, d_tab, d_mask, d_inv).sum(axis=1)
             )(msg)

@@ -84,6 +84,7 @@ def train_run(
     loader_depth: int = 4,
     loader_workers: int = 1,
     prefetch: int = 2,
+    steps_per_call: int = 1,
     handle_signals: bool = True,
     profile_dir: Optional[str] = None,
     profile_steps: tuple = (10, 13),
@@ -120,6 +121,15 @@ def train_run(
     checkpoints, and returns — on preemptible TPU pods the eviction notice
     becomes a clean resume point. ``profile_dir`` captures an xplane trace
     of steps ``profile_steps=[start, stop)``.
+
+    ``steps_per_call`` > 1 batches that many optimizer steps into one
+    compiled program (their input batches staged together), amortizing the
+    per-dispatch host/runtime overhead — the measured bottleneck on
+    dispatch-expensive runtimes (PERF.md "training pipeline on-chip").
+    Numerics are identical to step-at-a-time; per-step losses still log.
+    Eval/save/profile points force a call boundary, so their cadence is
+    exact; interrupts land on the next boundary (≤ ``steps_per_call`` steps
+    away).
 
     ``steps`` is the full training horizon (it sets the LR schedule);
     ``max_steps_this_run`` optionally boxes how many updates this invocation
@@ -278,22 +288,38 @@ def train_run(
 
     _jitted: dict = {}
 
-    def step_fn_for(r: int):
-        if r not in _jitted:
-            core = step_core_for(r)
+    def _step_body_for(r: int):
+        core = step_core_for(r)
 
-            def full_step(state, ema, raw):
-                x0, truth_in, targets = prep(raw, step=state.step)
-                if r == 1:
-                    state, loss = core(state, x0, targets[0])
-                else:
-                    state, loss = core(state, x0, truth_in[:r], targets[:r])
-                if ema_decay is not None:
-                    ema = ema_update(ema, state.params, ema_decay)
-                return state, ema, loss
+        def body(state, ema, raw):
+            x0, truth_in, targets = prep(raw, step=state.step)
+            if r == 1:
+                state, loss = core(state, x0, targets[0])
+            else:
+                state, loss = core(state, x0, truth_in[:r], targets[:r])
+            if ema_decay is not None:
+                ema = ema_update(ema, state.params, ema_decay)
+            return state, ema, loss
 
-            _jitted[r] = jax.jit(full_step, donate_argnums=(0, 1))
-        return _jitted[r]
+        return body
+
+    def step_fn_for(r: int, k: int = 1):
+        """One jitted program running ``k`` sequential optimizer steps over a
+        tuple of ``k`` staged batches (unrolled — scan executes poorly on the
+        dispatch-bound runtimes this amortization targets). Returns the
+        per-step losses so logging stays per-step exact."""
+        if (r, k) not in _jitted:
+            body = _step_body_for(r)
+
+            def multi(state, ema, raws):
+                step_losses = []
+                for raw in raws:
+                    state, ema, loss = body(state, ema, raw)
+                    step_losses.append(loss)
+                return state, ema, jnp.stack(step_losses)
+
+            _jitted[(r, k)] = jax.jit(multi, donate_argnums=(0, 1))
+        return _jitted[(r, k)]
 
     ckpt_path = os.path.join(checkpoint_dir, "latest") if checkpoint_dir else None
     if checkpoint_dir:
@@ -428,6 +454,19 @@ def train_run(
                 (ingest(b) for b in loader), prefetch=prefetch, sharding=sharding
             )
             cur_rollout = None
+            spc = max(int(steps_per_call), 1)
+
+            def event_step(s: int) -> bool:
+                """Steps that need the live state right after they run —
+                they force a call-group boundary so cadence stays exact."""
+                return bool(
+                    (eval_every and s % eval_every == 0)
+                    or (save_every and ckpt_path and s % save_every == 0)
+                    or (profile_dir and s - start_step in tuple(profile_steps))
+                )
+
+            group: list = []
+            group_nos: list[int] = []
             for i, raw in enumerate(stream):
                 step_no = start_step + i + 1
                 r = rollout_at(step_no)
@@ -435,15 +474,36 @@ def train_run(
                     if cur_rollout is not None:
                         log(f"rollout curriculum: {cur_rollout} -> {r} at step {step_no}")
                     cur_rollout = r
-                state, ema, loss = step_fn_for(r)(state, ema, raw)
-                if step_no % max(log_every, 1) == 0 or step_no == steps:
-                    lv = float(loss)  # host fetch: all queued steps have executed
-                    losses.append(lv)
+                group.append(raw)
+                group_nos.append(step_no)
+                if not (
+                    len(group) >= spc
+                    or event_step(step_no)
+                    or rollout_at(step_no + 1) != r
+                    or step_no >= start_step + remaining
+                    or stop_requested
+                ):
+                    continue
+                state, ema, step_losses = step_fn_for(r, len(group))(
+                    state, ema, tuple(group)
+                )
+                flushed, group, group_nos = group_nos, [], []
+                step_no = flushed[-1]
+                want_log = [
+                    s for s in flushed if s % max(log_every, 1) == 0 or s == steps
+                ]
+                if want_log:
+                    # host fetch: all queued steps have executed
+                    lvals = np.asarray(step_losses)
                     now = time.perf_counter()
-                    rate = (i + 1 - i_seg) / max(now - t_seg, 1e-9)
-                    t_seg, i_seg = now, i + 1
-                    log(f"step {step_no:6d}  loss {lv:.5f}  ({rate:.2f} steps/s)")
-                    log_metrics({"step": step_no, "loss": lv, "steps_per_s": round(rate, 4)})
+                    rate = (step_no - start_step - i_seg) / max(now - t_seg, 1e-9)
+                    t_seg, i_seg = now, step_no - start_step
+                    for s in want_log:
+                        lv = float(lvals[s - flushed[0]])
+                        losses.append(lv)
+                        log(f"step {s:6d}  loss {lv:.5f}  ({rate:.2f} steps/s)")
+                        log_metrics({"step": s, "loss": lv, "steps_per_s": round(rate, 4)})
+                loss = step_losses[-1]
                 if eval_every and step_no % eval_every == 0:
                     scores = _eval_tail(
                         iface, source, eval_rollout,

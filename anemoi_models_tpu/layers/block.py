@@ -236,7 +236,7 @@ class _GraphTransformerBase(nn.Module):
 
         return transform
 
-    def _conv_chunked(self, query, key, value, edges, edge_index, num_dst, num_chunks, tables=None, edge_transform=None):
+    def _conv_chunked(self, query, key, value, edges, edge_index, num_dst, num_chunks, tables=None, edge_transform=None, src_transform=None):
         """Edge-chunked per-edge attention. Chunking splits the (CSR-sorted)
         edge set, so per-destination softmax normalization must span chunks:
         compute unnormalized exp-weighted sums + normalizers per chunk and
@@ -246,6 +246,7 @@ class _GraphTransformerBase(nn.Module):
         live memory is already bounded by the padded degree).
         """
         if isinstance(tables, HaloTables):
+            assert src_transform is None, "narrow-source gather is a bucketed-tables feature"
             from anemoi_models_tpu.ops.slot_attention import _affine_from_closure
             from anemoi_models_tpu.parallel.api import get_mesh
             from anemoi_models_tpu.parallel.halo_conv import (
@@ -275,8 +276,10 @@ class _GraphTransformerBase(nn.Module):
             )
         if tables is not None or num_chunks <= 1:
             return graph_transformer_conv(
-                query, key, value, edges, edge_index, num_dst, tables, edge_transform
+                query, key, value, edges, edge_index, num_dst, tables, edge_transform,
+                src_transform=src_transform,
             )
+        assert src_transform is None, "narrow-source gather is a bucketed-tables feature"
         # Flash-style two-pass over edge chunks: pass 1 accumulates the
         # per-destination max logit, pass 2 the exp-weighted sums. Correct
         # softmax across chunk boundaries at O(E/num_chunks) live memory.
@@ -392,9 +395,27 @@ class GraphTransformerProcessorBlock(_GraphTransformerBase):
 
 class GraphTransformerMapperBlock(_GraphTransformerBase):
     """Per-edge attention block on a bipartite graph
-    (reference ``block.py:429-550``)."""
+    (reference ``block.py:429-550``).
+
+    ``src_embed_dim`` > 0 moves the source-node embedding (the mapper's
+    ``emb_nodes_src`` in the reference layout) into this block so it can run
+    *after* the neighbor gather on the narrow raw rows. ``kv_src_gather``:
+
+    - ``"wide"`` (reference dataflow): project k/v on all source rows, then
+      gather the two (H*D)-wide tensors per destination bucket;
+    - ``"narrow"``: gather the raw source rows once per bucket and apply the
+      per-row chain (embed → LayerNorm → k/v projection) on the gathered
+      rows. Per-row ops commute with row gathers, so this is numerically the
+      same computation with ~2×–20× fewer gather bytes (encoder: the raw
+      rows are ~22-wide vs 2×256-wide k/v) at extra MXU FLOPs on the padded
+      rows — the winning trade for a bytes-bound model (PERF.md round-2
+      "narrow-source mapper gathers"). Requires dense bucketed tables; any
+      other aggregation layout falls back to the wide dataflow.
+    """
 
     update_src_nodes: bool = False
+    src_embed_dim: int = 0
+    kv_src_gather: str = "wide"
 
     @nn.compact
     def __call__(
@@ -406,28 +427,63 @@ class GraphTransformerMapperBlock(_GraphTransformerBase):
         deterministic: bool = True,
         tables=None,
     ) -> tuple[tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+        from anemoi_models_tpu.ops.dense_graph import GatherTables
+
         x_skip = x
         num_dst = num_dst or x[1].shape[-2]
-        x_src = AutocastLayerNorm(name="layer_norm1")(x[0])
-        x_dst = AutocastLayerNorm(name="layer_norm2")(x[1])
+        ln_src = AutocastLayerNorm(name="layer_norm1")
+        emb_src = (
+            nn.Dense(self.src_embed_dim, dtype=self.dtype, name="emb_nodes_src")
+            if self.src_embed_dim
+            else None
+        )
         width = self.num_heads * self.out_channels_conv
+        lin_kv = nn.Dense(2 * width, dtype=self.dtype, name="lin_kv")
+        x_dst = AutocastLayerNorm(name="layer_norm2")(x[1])
         # fused matmuls: [query|self] from dst, [key|value] from src
         qs = nn.Dense(2 * width, use_bias=self.bias, dtype=self.dtype, name="lin_qs")(x_dst)
         query, x_r = jnp.split(qs, 2, axis=-1)
-        kv = nn.Dense(2 * width, dtype=self.dtype, name="lin_kv")(x_src)
-        key, value = jnp.split(kv, 2, axis=-1)
         lin_edge = self._edge_dense()
-        if tables is not None:
-            query, key, value = map(self._heads, (query, key, value))
+
+        # narrow needs the bucketed tables AND an unused src output (with
+        # update_src_nodes the src MLP consumes the embedded rows, which the
+        # narrow path never materializes)
+        narrow = (
+            self.kv_src_gather == "narrow"
+            and isinstance(tables, GatherTables)
+            and not self.update_src_nodes
+        )
+        if narrow:
+            query = self._heads(query)
             edges = edge_attr
+
+            def src_transform(g):
+                """(…, cap, A) raw source rows -> k, v (…, cap, H, D)."""
+                if emb_src is not None:
+                    g = emb_src(g)
+                k_n, v_n = jnp.split(lin_kv(ln_src(g)), 2, axis=-1)
+                shape = (*k_n.shape[:-1], self.num_heads, self.out_channels_conv)
+                return k_n.reshape(shape), v_n.reshape(shape)
+
+            key, value = x[0], None  # narrow source rows, gathered in the conv
         else:
-            edges = lin_edge(edge_attr)
-            query, key, value, edges = map(self._heads, (query, key, value, edges))
+            src_transform = None
+            x_src = x[0] if emb_src is None else emb_src(x[0])
+            x_skip = (x_src, x[1])  # src skip operates on embedded rows
+            kv = lin_kv(ln_src(x_src))
+            key, value = jnp.split(kv, 2, axis=-1)
+            if tables is not None:
+                query, key, value = map(self._heads, (query, key, value))
+                edges = edge_attr
+            else:
+                edges = lin_edge(edge_attr)
+                query, key, value, edges = map(self._heads, (query, key, value, edges))
 
         num_chunks = self.num_chunks if not deterministic else max(self.num_chunks, num_chunks_inference())
         out = self._conv_chunked(
             query, key, value, edges, edge_index, num_dst, num_chunks, tables,
             edge_transform=self._edge_transform(lin_edge) if tables is not None else None,
+            src_transform=src_transform,
         )
         b = out.shape[0]
         out = constrain(out, ("data", None, "model", None)).reshape(b, num_dst, self.out_channels)

@@ -142,6 +142,7 @@ def graph_transformer_conv(
     num_dst: Optional[int] = None,
     tables=None,
     edge_transform=None,
+    src_transform=None,
 ) -> jnp.ndarray:
     """Per-edge multi-head attention restricted to graph edges.
 
@@ -149,13 +150,16 @@ def graph_transformer_conv(
     ``edge_attr`` (B, E, H, D) or None; returns (B, Nd, H, D).
     With ``tables`` = (degree buckets, reassemble) from
     ``graphs.partition.bucketed_neighbor_tables``, runs the scatter-free TPU
-    path.
+    path. With ``src_transform`` (bucketed path only), ``key`` is a narrow
+    (B, Ns, A) source tensor gathered once and projected to k/v per gathered
+    row (see :func:`anemoi_models_tpu.ops.dense_graph.bucketed_edge_attention`).
     """
     if tables is not None:
         from anemoi_models_tpu.ops.slot_attention import PlannedTables, planned_edge_attention
 
         if isinstance(tables, PlannedTables):
             # fused slot-layout path (Pallas kernel on TPU, jnp twin elsewhere)
+            assert src_transform is None, "narrow-source gather is a bucketed-tables feature"
             return planned_edge_attention(
                 query, key, value, edge_attr, edge_transform, tables.plan, impl=tables.impl
             )
@@ -163,7 +167,9 @@ def graph_transformer_conv(
         return bucketed_edge_attention(
             query, key, value, edge_attr, buckets, reassemble, edge_transform,
             transpose=rest[0] if rest else None,
+            src_transform=src_transform,
         )
+    assert src_transform is None, "narrow-source gather is a bucketed-tables feature"
     if num_dst is None:
         num_dst = query.shape[-3]
     out_channels = query.shape[-1]

@@ -55,8 +55,19 @@ class _GraphTransformerBaseMapper(nn.Module):
     graph_impl: str = "dense"
     plan_block_nodes: int = 0  # kernel-plan geometry; 0 = default (128)
     plan_slab_width: int = 0  # 0 = auto-select
+    # "narrow": gather raw source rows once and project k/v after the gather
+    # (numerically identical — per-row ops commute with row gathers — and
+    # 2–20× fewer gather bytes); "wide": reference dataflow (k/v projected on
+    # all rows, two wide gathers); "auto": narrow whenever the dense bucketed
+    # tables are in play.
+    kv_src_gather: str = "auto"
     deterministic: bool = True
     dtype: jnp.dtype = jnp.float32
+
+    def _narrow(self) -> bool:
+        if self.kv_src_gather == "auto":
+            return self.graph_impl == "dense"
+        return self.kv_src_gather == "narrow"
 
     def _edges(self, batch_size: int) -> tuple[jnp.ndarray, jnp.ndarray]:
         edge_attr_np, edge_index_np, _ = register_edges(
@@ -89,7 +100,7 @@ class _GraphTransformerBaseMapper(nn.Module):
         buckets, reassemble, bundle = edge_set_gather_tables(self.sub_graph, num_dst, num_src)
         return GatherTables(buckets, reassemble, TransposeBundle(bundle))
 
-    def _block(self) -> nn.Module:
+    def _block(self, src_embed_dim: int = 0) -> nn.Module:
         # remat at the block boundary — the analogue of the model-level
         # mapper checkpointing in reference encoder_processor_decoder.py:159-166;
         # cpu_offload parks saved dots in pinned host memory (ref mapper.py:64-66)
@@ -105,14 +116,16 @@ class _GraphTransformerBaseMapper(nn.Module):
             num_heads=self.num_heads,
             activation=self.activation,
             num_chunks=self.num_chunks,
+            kv_src_gather="narrow" if self._narrow() else "wide",
+            src_embed_dim=src_embed_dim,
             dtype=self.dtype,
             name="proc",
         )
 
-    def _run(self, x_src, x_dst, batch_size):
+    def _run(self, x_src, x_dst, batch_size, src_embed_dim: int = 0):
         """Embed → block → return (x_src_in, x_dst_out) pre-post-processing."""
         edge_attr, edge_index = self._edges(batch_size)
-        (x_src, x_dst), _ = self._block()(
+        (x_src, x_dst), _ = self._block(src_embed_dim)(
             (x_src, x_dst), edge_attr, edge_index, x_dst.shape[-2], self.deterministic,
             self._tables(x_dst.shape[-2], x_src.shape[-2]),
         )
@@ -132,13 +145,21 @@ class GraphTransformerForwardMapper(_GraphTransformerBaseMapper):
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         x_src_in, x_dst_in = x
         batch_size = batch_size or x_src_in.shape[0]
-        x_src = nn.Dense(self.hidden_dim, dtype=self.dtype, name="emb_nodes_src")(
-            constrain(x_src_in, ("data", "model", None))
-        )
+        if self._narrow():
+            # the source embedding is per-row, so it commutes with the
+            # neighbor gather: hand the block the RAW rows and let it embed
+            # after the (narrow) gather — the block owns emb_nodes_src
+            x_src = constrain(x_src_in, ("data", "model", None))
+            src_embed_dim = self.hidden_dim
+        else:
+            x_src = nn.Dense(self.hidden_dim, dtype=self.dtype, name="emb_nodes_src")(
+                constrain(x_src_in, ("data", "model", None))
+            )
+            src_embed_dim = 0
         x_dst = nn.Dense(self.hidden_dim, dtype=self.dtype, name="emb_nodes_dst")(
             constrain(x_dst_in, ("data", "model", None))
         )
-        _, x_dst = self._run(x_src, x_dst, batch_size)
+        _, x_dst = self._run(x_src, x_dst, batch_size, src_embed_dim)
         return x_src_in, x_dst
 
 

@@ -351,6 +351,7 @@ def bucketed_edge_attention(
     edge_transform=None,
     transpose=None,
     return_partials: bool = False,
+    src_transform=None,
 ) -> jnp.ndarray:
     """Per-edge attention over degree-bucketed tables.
 
@@ -363,6 +364,17 @@ def bucketed_edge_attention(
     gathered narrow (A wide, cheap) and projected per bucket by
     ``edge_transform: (..., cap, A) -> (..., cap, H, D)``. Projecting after
     the gather keeps the E-wide projected tensor out of HBM entirely.
+
+    ``src_transform`` applies the same trick to the *source nodes*: when
+    given, ``key`` is a narrow (B, Ns, A) source tensor (``value`` is
+    ignored), gathered ONCE per bucket, and
+    ``src_transform: (..., cap, A) -> ((..., cap, H, D), (..., cap, H, D))``
+    produces k/v per gathered row. Every op between the source rows and k/v
+    (embedding, LayerNorm, the k/v projection) is per-row, so it commutes
+    with the row gather exactly — this replaces two wide (H*D) gathers with
+    one narrow one, trading HBM gather bytes for MXU FLOPs on the padded
+    rows (the right trade on a bytes-bound model; see PERF.md round-2
+    "narrow-source mapper gathers").
 
     ``return_partials=True`` emits merge-form ``(num, den, m)`` fp32 partials
     (un-normalized, max −1e30 and den 0 for edge-less destinations) instead
@@ -398,8 +410,19 @@ def bucketed_edge_attention(
                 return _masked_pos_take(gf, poe, ne, axis=-3)
 
         q_b = take_rows(query, node_ids, -3, adj_q)  # (B, nb, H, D)
-        k_n = take_rows(key, src_ids, -3, adj_src)  # (B, nb, cap, H, D)
-        v_n = take_rows(value, src_ids, -3, adj_src)
+        if src_transform is not None:
+            adj_src_flat = None
+            if transpose is not None:
+
+                def adj_src_flat(g, t=tb["t_src"], nb=nb, cap=cap, ns=num_src):
+                    gf = g.reshape(*g.shape[:-3], nb * cap, g.shape[-1])
+                    return _transpose_sum(gf, t, ns)
+
+            g_n = take_rows(key, src_ids, -2, adj_src_flat)  # (B, nb, cap, A)
+            k_n, v_n = src_transform(g_n)  # each (B, nb, cap, H, D)
+        else:
+            k_n = take_rows(key, src_ids, -3, adj_src)  # (B, nb, cap, H, D)
+            v_n = take_rows(value, src_ids, -3, adj_src)
         if edge_attr is not None:
             if edge_transform is not None:
                 e_n = edge_transform(take_rows(edge_attr, edge_ids, -2, adj_e2))
@@ -425,7 +448,7 @@ def bucketed_edge_attention(
             outs.append((num_b, w.sum(axis=-2), m[..., 0, :]))
             continue
         denom = jnp.maximum(w.sum(axis=-2, keepdims=True), 1e-16)
-        alpha = (w / denom).astype(value.dtype)
+        alpha = (w / denom).astype(v_n.dtype)
         outs.append((v_n * alpha[..., None]).sum(axis=-3))
     if return_partials:
         re = lambda t, ax: (  # noqa: E731

@@ -126,7 +126,9 @@ def oracle_forward(params, cfg, di, graph, x_np):
     enc = p["encoder"]
     es_enc = graph[("data", "to", "hidden")]
     e_attr, e_idx = edge_inputs(enc, es_enc)
-    x_src = dense(enc["emb_nodes_src"], x_data_latent)
+    # narrow-gather layout keeps emb_nodes_src inside the block scope
+    emb_src = enc.get("emb_nodes_src") or enc["proc"]["emb_nodes_src"]
+    x_src = dense(emb_src, x_data_latent)
     x_dst = dense(enc["emb_nodes_dst"], x_hidden_latent)
     x_latent = gt_block(enc["proc"], x_src, x_dst, e_attr, e_idx, num_heads, fused_qkvs=False)
 

@@ -129,7 +129,9 @@ def oracle_forward(params, cfg, di, graph, x_np, flavor):
         )
     else:
         e_attr, e_idx = edge_inputs(enc, es_enc)
-        x_src = dense(enc["emb_nodes_src"], x_data_latent)
+        # narrow-gather layout keeps emb_nodes_src inside the block scope
+        emb_src = enc.get("emb_nodes_src") or enc["proc"]["emb_nodes_src"]
+        x_src = dense(emb_src, x_data_latent)
         x_dst = dense(enc["emb_nodes_dst"], x_hidden_latent)
         x_latent = gt_block(enc["proc"], x_src, x_dst, e_attr, e_idx, 4, fused_qkvs=False)
         x_data_hidden = x_data_latent

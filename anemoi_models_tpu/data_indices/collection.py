@@ -24,6 +24,18 @@ def _as_list(value: Any) -> list:
     return list(value)
 
 
+def _dense_index(names, drop) -> dict[str, int]:
+    """Dense ``{name: position}`` over ``names`` with ``drop`` removed."""
+    dropped = set(drop)
+    kept = (name for name in names if name not in dropped)
+    return {name: position for position, name in enumerate(kept)}
+
+
+def _append(table: dict[str, int], name: str) -> None:
+    """Give ``name`` the next free position at the tail of ``table``."""
+    table[name] = len(table)
+
+
 class IndexCollection:
     """The four-level (data/internal_data/model/internal_model) routing table."""
 
@@ -54,42 +66,41 @@ class IndexCollection:
                 f"config.data.remapped names variables absent from the dataset: {sorted(unknown)}"
             )
 
-        name_to_index_model_input = {
-            name: i for i, name in enumerate(key for key in self.name_to_index if key not in self.diagnostic)
-        }
-        name_to_index_model_output = {
-            name: i for i, name in enumerate(key for key in self.name_to_index if key not in self.forcing)
-        }
-        # Internal levels drop the remapped source variables...
-        name_to_index_internal_data_input = {
-            name: i for i, name in enumerate(key for key in self.name_to_index if key not in self.remapped)
-        }
-        name_to_index_internal_model_input = {
-            name: i for i, name in enumerate(key for key in name_to_index_model_input if key not in self.remapped)
-        }
-        name_to_index_internal_model_output = {
-            name: i for i, name in enumerate(key for key in name_to_index_model_output if key not in self.remapped)
-        }
-        # ...and append the remap products at the end of the internal tensors.
-        for key in self.remapped:
-            for mapped in self.remapped[key]:
-                name_to_index_internal_model_input[mapped] = len(name_to_index_internal_model_input)
-                name_to_index_internal_data_input[mapped] = len(name_to_index_internal_data_input)
-                if key not in self.forcing:
-                    name_to_index_internal_model_output[mapped] = len(name_to_index_internal_model_output)
+        # Phase 1: filter. Each table keeps dataset ordering and renumbers
+        # positions densely after dropping the excluded names. The model level
+        # drops output-only (diagnostic) names from inputs and input-only
+        # (forcing) names from outputs; the internal levels additionally drop
+        # the remap *source* variables (their products are appended in phase 2).
+        dataset_order = list(self.name_to_index)
+        model_input = _dense_index(dataset_order, drop=self.diagnostic)
+        model_output = _dense_index(dataset_order, drop=self.forcing)
+        internal_data_input = _dense_index(dataset_order, drop=self.remapped)
+        internal_model_input = _dense_index(model_input, drop=self.remapped)
+        internal_model_output = _dense_index(model_output, drop=self.remapped)
+
+        # Phase 2: append each remap product at the tail of every internal
+        # table it belongs to. Products of a forcing source are themselves
+        # input-only: they join the remapped forcing list instead of the
+        # output table, and the consumed source leaves it.
+        for source, products in self.remapped.items():
+            for product in products:
+                _append(internal_data_input, product)
+                _append(internal_model_input, product)
+                if source in self.forcing:
+                    self.forcing_remapped.append(product)
                 else:
-                    self.forcing_remapped += [mapped]
-            if key in self.forcing:
-                self.forcing_remapped.remove(key)
+                    _append(internal_model_output, product)
+            if source in self.forcing:
+                self.forcing_remapped.remove(source)
 
         self.data = DataIndex(self.diagnostic, self.forcing, self.name_to_index)
-        self.internal_data = DataIndex(self.diagnostic, self.forcing_remapped, name_to_index_internal_data_input)
-        self.model = ModelIndex(self.diagnostic, self.forcing, name_to_index_model_input, name_to_index_model_output)
+        self.internal_data = DataIndex(self.diagnostic, self.forcing_remapped, internal_data_input)
+        self.model = ModelIndex(self.diagnostic, self.forcing, model_input, model_output)
         self.internal_model = ModelIndex(
             self.diagnostic,
             self.forcing_remapped,
-            name_to_index_internal_model_input,
-            name_to_index_internal_model_output,
+            internal_model_input,
+            internal_model_output,
         )
 
     def __repr__(self) -> str:

@@ -21,18 +21,22 @@ class Remapper(BasePreprocessor):
 
     def __new__(cls, config: Any = None, data_indices: Optional[Any] = None, statistics=None):
         _, _, method_config = cls._process_config(config or {})
-        monomappings = Monomapper.supported_methods
-        multimappings = Multimapper.supported_methods
-        if all(method in monomappings for method in method_config):
+
+        def classify(method: str) -> str:
+            if method in Monomapper.supported_methods:
+                return "mono"
+            if method in Multimapper.supported_methods:
+                return "multi"
+            return "unknown"
+
+        kinds = {classify(method) for method in method_config}
+        if kinds <= {"mono"}:  # empty configs default to the width-preserving mapper
             return Monomapper(config, data_indices, statistics)
-        if all(method in multimappings for method in method_config):
+        if kinds == {"multi"}:
             return Multimapper(config, data_indices, statistics)
-        if not (
-            any(method in monomappings for method in method_config)
-            or any(method in multimappings for method in method_config)
-        ):
+        if kinds == {"unknown"}:
             raise ValueError("Remapper config selects no supported transform.")
         raise NotImplementedError(
             "Remapper cannot mix width-preserving and width-changing transforms in one block: "
-            f"{list(method_config.keys())}"
+            f"{list(method_config)}"
         )

@@ -453,6 +453,18 @@ class GraphTransformerMapperBlock(_GraphTransformerBase):
             and isinstance(tables, GatherTables)
             and not self.update_src_nodes
         )
+        if self.kv_src_gather == "narrow" and not narrow:
+            import warnings
+
+            reason = (
+                "update_src_nodes=True consumes the embedded source rows the narrow path never materializes"
+                if self.update_src_nodes
+                else f"tables are {type(tables).__name__}, not dense GatherTables"
+            )
+            warnings.warn(
+                f"kv_src_gather='narrow' cannot be honored ({reason}); using the wide dataflow",
+                stacklevel=2,
+            )
         if narrow:
             query = self._heads(query)
             edges = edge_attr

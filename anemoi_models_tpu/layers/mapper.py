@@ -67,6 +67,18 @@ class _GraphTransformerBaseMapper(nn.Module):
     def _narrow(self) -> bool:
         if self.kv_src_gather == "auto":
             return self.graph_impl == "dense"
+        if self.kv_src_gather == "narrow" and self.graph_impl != "dense":
+            import warnings
+
+            # an explicit request that cannot be honored must say so
+            # ('auto' degrades silently by design)
+            warnings.warn(
+                f"kv_src_gather='narrow' requires the dense bucketed gather "
+                f"tables; graph_impl={self.graph_impl!r} has none, so the "
+                "wide dataflow is used instead",
+                stacklevel=2,
+            )
+            return False
         return self.kv_src_gather == "narrow"
 
     def _edges(self, batch_size: int) -> tuple[jnp.ndarray, jnp.ndarray]:

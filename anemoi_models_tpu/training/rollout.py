@@ -19,20 +19,29 @@ __all__ = ["make_rollout_fn"]
 
 
 def make_rollout_fn(model: Any, data_indices: Any, n_steps: int) -> Callable:
-    """Build ``rollout(params, x0, forcings) -> (x_final, predictions)``.
+    """Build ``rollout(params, x0, forcings, rng) -> (x_final, predictions)``.
 
     - ``x0``: (batch, multi_step, ensemble, grid, n_in) initial window at the
       internal-model input width.
     - ``forcings``: (n_steps, batch, ensemble, grid, n_forcing) per-step
       forcing values, or None if the model has no forcing variables.
+    - ``rng``: dropout key, required iff the model was built with
+      ``deterministic=False`` (training-time attention dropout, reference
+      ``layers/attention.py:60``); each rollout step gets its own fold.
     - returns predictions (n_steps, batch, ensemble, grid, n_out).
     """
     prog_in = np.asarray(data_indices.internal_model.input.prognostic)
     prog_out = np.asarray(data_indices.internal_model.output.prognostic)
     forcing_in = np.asarray(data_indices.internal_model.input.forcing)
     n_in = len(data_indices.internal_model.input)
+    needs_rng = not getattr(model, "deterministic", True)
 
-    def rollout(params, x0: jnp.ndarray, forcings: Optional[jnp.ndarray] = None):
+    def rollout(
+        params,
+        x0: jnp.ndarray,
+        forcings: Optional[jnp.ndarray] = None,
+        rng: Optional[jax.Array] = None,
+    ):
         if forcings is None and forcing_in.size:
             raise ValueError(
                 f"This model takes {forcing_in.size} forcing variables per step but rollout() "
@@ -48,12 +57,21 @@ def make_rollout_fn(model: Any, data_indices: Any, n_steps: int) -> Callable:
                 nxt = nxt.at[..., forcing_in].set(forcing_t)
             return jnp.concatenate([x[:, 1:], nxt[:, None]], axis=1)
 
-        def body(x, forcing_t):
-            y = model.apply(params, x)
-            return advance(x, y, forcing_t), y
+        if needs_rng and rng is None:
+            raise ValueError(
+                "This model was built with deterministic=False (training-time "
+                "dropout); rollout() needs a dropout key — pass rng=."
+            )
+        step_keys = jax.random.split(rng, n_steps) if needs_rng else None
 
-        if forcings is None:
-            return jax.lax.scan(lambda x, _: body(x, None), x0, None, length=n_steps)
-        return jax.lax.scan(body, x0, forcings)
+        def body(x, xs):
+            kwargs = {"rngs": {"dropout": xs["key"]}} if needs_rng else {}
+            y = model.apply(params, x, **kwargs)
+            return advance(x, y, xs["forcing"]), y
+
+        # None entries are empty pytrees, so one scan covers all four
+        # (forcings?, rng?) combinations; length is always explicit.
+        xs = {"forcing": forcings, "key": step_keys}
+        return jax.lax.scan(body, x0, xs, length=n_steps)
 
     return rollout

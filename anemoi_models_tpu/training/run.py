@@ -38,6 +38,21 @@ from anemoi_models_tpu.training.step import make_rollout_train_step, make_train_
 __all__ = ["train_run"]
 
 
+def _wants_dropout(model_config) -> bool:
+    """True if any sub-config under config.model declares dropout_p > 0."""
+
+    def walk(node) -> bool:
+        if isinstance(node, dict):
+            for key, value in node.items():
+                if key == "dropout_p" and float(value or 0.0) > 0.0:
+                    return True
+                if walk(value):
+                    return True
+        return False
+
+    return walk(model_config)
+
+
 def _loss_mask(pipeline) -> Optional[jnp.ndarray]:
     """The imputer's (grid, vars_out) training mask, if any processor fit one."""
     for proc in getattr(pipeline, "processors", {}).values():
@@ -253,15 +268,23 @@ def train_run(
         weight_decay=weight_decay,
     )
 
+    # Training uses the dropout-enabled twin of the serving model whenever
+    # the config asks for dropout_p > 0 (same parameter tree — dropout draws
+    # no params — so checkpoints/EMA/serving all stay interchangeable; the
+    # reference trains with attention-weight dropout, ``attention.py:60``).
+    train_model = (
+        iface.model.clone(deterministic=False) if _wants_dropout(config.model) else iface.model
+    )
+
     # one compiled step program per distinct rollout length (the curriculum
     # switches between them; parameters/optimizer state are shared)
-    init_state, _core_1 = make_train_step(iface.model, optimizer, loss_fn)
+    init_state, _core_1 = make_train_step(train_model, optimizer, loss_fn, dropout_seed=seed + 3)
     _cores: dict = {1: _core_1}
 
     def step_core_for(r: int):
         if r not in _cores:
             _cores[r] = make_rollout_train_step(
-                iface.model, indices, optimizer, r, loss_fn
+                train_model, indices, optimizer, r, loss_fn, dropout_seed=seed + 3
             )[1]
         return _cores[r]
 

@@ -88,14 +88,20 @@ def main():
 
     # match the flagship config exactly (num_heads=4, trainable_size=4 —
     # __graft_entry__._build): standalone-vs-model attribution is only
-    # meaningful when the stage configs are identical
+    # meaningful when the stage configs are identical. That includes the
+    # encoder's *source width*: in the model it consumes raw rows
+    # (multi_step × n_vars + sin/cos coords), not C-wide embeddings, and
+    # under the narrow gather the gather bytes scale with that width.
+    n_in_vars = len(model.data_indices.internal_model.input)
+    in_raw = int(model.config.training.multistep_input) * n_in_vars + 4  # + sincos(lat,lon)
+    x_raw = jnp.zeros((B, n_grid, in_raw), dt)
     enc = GraphTransformerForwardMapper(
-        in_channels_src=C, in_channels_dst=C, hidden_dim=C, num_heads=4,
+        in_channels_src=in_raw, in_channels_dst=C, hidden_dim=C, num_heads=4,
         trainable_size=4, sub_graph=graph[("data", "to", "hidden")], dtype=dt,
     )
-    p_enc = jax.jit(enc.init)(jax.random.key(0), (x_grid, x_mesh))
+    p_enc = jax.jit(enc.init)(jax.random.key(0), (x_raw, x_mesh))
     t_enc = time_chain(
-        lambda p, xx: enc.apply(p, (xx, x_mesh))[1], p_enc, x_grid)
+        lambda p, xx: enc.apply(p, (xx, x_mesh))[1], p_enc, x_raw)
     print(f"encoder (data->hidden): {t_enc * 1e3:8.2f} ms")
 
     proc = GraphTransformerProcessor(

@@ -51,3 +51,56 @@ def test_cli_info(capsys):
     assert main(["info"]) == 0
     out = capsys.readouterr().out
     assert "anemoi-models-tpu" in out and "backend" in out
+
+
+def test_checkpoint_migrates_emb_nodes_src_scope(tmp_path):
+    """Format-1 checkpoints (wide layout: mapper-scope emb_nodes_src) restore
+    into format-2 targets (narrow layout: block-scope emb_nodes_src) and
+    back — including adam moments, which mirror the parameter structure."""
+    import optax
+
+    from anemoi_models_tpu.layers.mapper import GraphTransformerForwardMapper
+    from helpers_models import small_graph_cached
+
+    graph = small_graph_cached()
+    es = graph[("data", "to", "hidden")]
+    ng, nm = graph["data"].num_nodes, graph["hidden"].num_nodes
+    x = (
+        jnp.asarray(np.random.RandomState(0).randn(1, ng, 10), jnp.float32),
+        jnp.asarray(np.random.RandomState(1).randn(1, nm, 12), jnp.float32),
+    )
+    kw = dict(in_channels_src=10, in_channels_dst=12, hidden_dim=16, num_heads=4, sub_graph=es)
+    wide = GraphTransformerForwardMapper(kv_src_gather="wide", **kw)
+    narrow = GraphTransformerForwardMapper(kv_src_gather="narrow", **kw)
+
+    opt = optax.adam(1e-3)
+    p_wide = wide.init(jax.random.key(0), x)
+    path = save_checkpoint(
+        str(tmp_path / "legacy"), params=p_wide, opt_state=opt.init(p_wide), step=3
+    )
+
+    p_narrow = narrow.init(jax.random.key(1), x)
+    target = {"params": p_narrow, "opt_state": opt.init(p_narrow)}
+    restored = load_checkpoint(path, target=target)
+
+    # every wide leaf must land somewhere in the narrow tree, values intact
+    wide_leaves = sorted(
+        (jax.tree_util.keystr(k), np.asarray(v).sum())
+        for k, v in jax.tree_util.tree_leaves_with_path(p_wide)
+    )
+    got_leaves = sorted(
+        (jax.tree_util.keystr(k), np.asarray(v).sum())
+        for k, v in jax.tree_util.tree_leaves_with_path(restored["params"])
+    )
+    assert [round(float(s), 5) for _, s in got_leaves] == [
+        round(float(s), 5) for _, s in wide_leaves
+    ]
+    # structure now matches the narrow model: apply must run and agree with
+    # the wide model on the same weights
+    out_w = wide.apply(p_wide, x)[1]
+    out_n = narrow.apply(restored["params"], x)[1]
+    np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_w), rtol=2e-5, atol=2e-5)
+    # adam moments migrated with the same move
+    assert jax.tree_util.tree_structure(restored["opt_state"]) == jax.tree_util.tree_structure(
+        target["opt_state"]
+    )

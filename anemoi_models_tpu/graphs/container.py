@@ -211,9 +211,23 @@ class HeteroGraph:
         return cls(nodes=nodes, edges=edges)
 
     def save(self, path: str) -> str:
-        """Write the graph to an ``.npz`` file; returns the path."""
-        np.savez_compressed(path, **self.to_arrays())
-        return path if path.endswith(".npz") else path + ".npz"
+        """Write the graph to an ``.npz`` file; returns the path.
+
+        The write is atomic (tmp file + rename): graph saves take minutes at
+        O1280 scale and an interrupted save must not leave a truncated file
+        that later loads would trip over."""
+        import os
+
+        final = path if path.endswith(".npz") else path + ".npz"
+        tmp = final + f".tmp-{os.getpid()}"
+        try:
+            np.savez_compressed(tmp, **self.to_arrays())
+            os.replace(tmp if os.path.exists(tmp) else tmp + ".npz", final)
+        finally:
+            for leftover in (tmp, tmp + ".npz"):
+                if os.path.exists(leftover):
+                    os.remove(leftover)
+        return final
 
     @classmethod
     def load(cls, path: str) -> "HeteroGraph":

@@ -12,6 +12,7 @@ torch_geometric scatter machinery at once.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 
 from anemoi_models_tpu.graphs.container import EdgeSet
@@ -381,3 +382,111 @@ def edge_set_gather_tables(edge_set: EdgeSet, num_dst: int, num_src: int):
         bundle = bucketed_transpose_bundle(buckets, num_dst, num_src, edge_set.num_edges)
         cache[key] = (buckets, reassemble, bundle)
     return cache[key]
+
+
+# ---------------------------------------------------------------------------
+# Sharded mapper slot tables (bipartite, model-axis parallelism)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_static
+@dataclass(eq=False)  # identity eq/hash: ndarray fields, rides jit as static
+class MapperShardTables:
+    """Per-shard single-cap slot layout for bipartite mapper attention under
+    a ``model`` mesh axis (``parallel/mapper_conv.py``).
+
+    Destination rows are split contiguously over ``num_shards`` (tail-padded
+    to ``S * dst_per_shard``). Each shard's incoming edges fill a
+    (dst_per_shard, cap) slot table; source ids index the tail-padded GLOBAL
+    source tensor, re-assembled on device by one tiled all-gather of the
+    narrow source rows. All adjoints are precomputed position tables so
+    forward AND backward are scatter-free.
+
+    This is the mapper-side answer to the reference's model sharding
+    (``distributed/graph.py:140-298``): dst-local attention + one narrow
+    source collective, instead of head all-to-alls over GSPMD (which falls
+    into involuntary full rematerializations on the mapper dataflow).
+    """
+
+    num_shards: int
+    num_dst: int
+    num_src: int
+    dst_per_shard: int  # nps (dst padded to S*nps)
+    src_per_shard: int  # nsps (src padded to S*nsps)
+    cap: int
+    src_ids: np.ndarray  # (S, nps, cap) int32 into the padded global src
+    mask: np.ndarray  # (S, nps, cap) bool
+    slot_edge_gids: np.ndarray  # (S*nps*cap,) int32 global edge id per flat slot
+    pos_of_edge: np.ndarray  # (E,) int32 flat slot of each edge (unique)
+    t_src_tab: np.ndarray  # (S, S*nsps, M) int32 per-shard flat slot positions
+    t_src_mask: np.ndarray  # (S, S*nsps, M) bool
+
+    @property
+    def slots_per_shard(self) -> int:
+        return self.dst_per_shard * self.cap
+
+
+def mapper_shard_tables(
+    edge_set: EdgeSet, num_dst: int, num_src: int, shards: int
+) -> MapperShardTables:
+    """Cached :class:`MapperShardTables` for a CSR-sorted bipartite edge set."""
+    cache = _edge_set_cache(edge_set)
+    key = ("mapper_shard", num_dst, num_src, shards)
+    if key in cache:
+        return cache[key]
+
+    from anemoi_models_tpu.graphs.kernel_plan import _padded_transpose
+
+    src, dst = np.asarray(edge_set.edge_index, dtype=np.int64)
+    num_edges = len(dst)
+    assert np.all(np.diff(dst) >= 0), "edge_index must be CSR-sorted by destination"
+    nps = -(-num_dst // shards)
+    nsps = -(-num_src // shards)
+    ns_pad = nsps * shards
+    counts = np.bincount(dst, minlength=num_dst)
+    starts = np.zeros(num_dst + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    cap = max(int(counts.max()) if num_edges else 1, 1)
+
+    src_ids = np.zeros((shards, nps, cap), dtype=np.int32)
+    mask = np.zeros((shards, nps, cap), dtype=bool)
+    slot_gid = np.zeros((shards, nps, cap), dtype=np.int32)
+    pos_of_edge = np.full(num_edges, -1, dtype=np.int32)
+    t_tabs, t_masks = [], []
+    for s in range(shards):
+        lo, hi = s * nps, min((s + 1) * nps, num_dst)
+        e_lo, e_hi = int(starts[lo]), int(starts[hi])
+        d_loc = (dst[e_lo:e_hi] - lo).astype(np.int64)
+        slot = np.arange(e_lo, e_hi) - starts[dst[e_lo:e_hi]]
+        src_ids[s, d_loc, slot] = src[e_lo:e_hi].astype(np.int32)
+        mask[s, d_loc, slot] = True
+        slot_gid[s, d_loc, slot] = np.arange(e_lo, e_hi, dtype=np.int32)
+        pos_of_edge[e_lo:e_hi] = (s * nps * cap + d_loc * cap + slot).astype(np.int32)
+        flat_ids = np.where(mask[s].ravel(), src_ids[s].ravel().astype(np.int64), -1)
+        tab, msk = _padded_transpose(flat_ids, ns_pad)
+        t_tabs.append(tab)
+        t_masks.append(msk)
+
+    m_width = max(t.shape[1] for t in t_tabs)
+    t_src_tab = np.zeros((shards, ns_pad, m_width), dtype=np.int32)
+    t_src_mask = np.zeros((shards, ns_pad, m_width), dtype=bool)
+    for s, (tab, msk) in enumerate(zip(t_tabs, t_masks)):
+        t_src_tab[s, :, : tab.shape[1]] = np.where(msk, tab, 0).astype(np.int32)
+        t_src_mask[s, :, : msk.shape[1]] = msk
+
+    result = MapperShardTables(
+        num_shards=shards,
+        num_dst=num_dst,
+        num_src=num_src,
+        dst_per_shard=nps,
+        src_per_shard=nsps,
+        cap=cap,
+        src_ids=src_ids,
+        mask=mask,
+        slot_edge_gids=slot_gid.reshape(-1),
+        pos_of_edge=pos_of_edge,
+        t_src_tab=t_src_tab,
+        t_src_mask=t_src_mask,
+    )
+    cache[key] = result
+    return result

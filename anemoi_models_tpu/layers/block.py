@@ -445,6 +445,54 @@ class GraphTransformerMapperBlock(_GraphTransformerBase):
         query, x_r = jnp.split(qs, 2, axis=-1)
         lin_edge = self._edge_dense()
 
+        from anemoi_models_tpu.graphs.partition import MapperShardTables
+
+        if isinstance(tables, MapperShardTables):
+            # destination-sharded mapper attention under a model axis: one
+            # narrow-src all-gather, shard-local slot attention, no head
+            # resharding (parallel/mapper_conv.py)
+            assert not self.update_src_nodes, (
+                "sharded mapper tables require update_src_nodes=False"
+            )
+            from anemoi_models_tpu.parallel.api import get_mesh
+            from anemoi_models_tpu.parallel.mapper_conv import sharded_mapper_edge_attention
+
+            def src_transform_sharded(g):
+                if emb_src is not None:
+                    g = emb_src(g)
+                k_n, v_n = jnp.split(lin_kv(ln_src(g)), 2, axis=-1)
+                shape = (*k_n.shape[:-1], self.num_heads, self.out_channels_conv)
+                return k_n.reshape(shape), v_n.reshape(shape)
+
+            if self.is_initializing():
+                # materialize the transform params OUTSIDE the shard_map
+                # region (param creation inside shard_map is unsupported;
+                # established params are closure-captured replicated)
+                src_transform_sharded(x[0][:, :1, None, :])
+                self._edge_transform(lin_edge)(edge_attr[..., :1, :])
+
+            bq = query.shape[0]
+            query_h = constrain(
+                query.reshape(bq, -1, self.num_heads, self.out_channels_conv),
+                ("data", "model", None, None),
+            )
+            # cast raw rows to the compute dtype BEFORE the all-gather and
+            # slot gathers: everything downstream is self.dtype anyway, and
+            # the slot tensors are the largest arrays in the sharded mapper
+            src_rows = constrain(x[0].astype(self.dtype), ("data", "model", None))
+            out = sharded_mapper_edge_attention(
+                get_mesh(), tables, query_h, src_rows, edge_attr.astype(self.dtype),
+                self._edge_transform(lin_edge), src_transform_sharded,
+            )
+            out = constrain(out, ("data", "model", None, None)).reshape(
+                bq, num_dst, self.out_channels
+            )
+            out = constrain(out, ("data", "model", None))
+            out = nn.Dense(self.out_channels, dtype=self.dtype, name="projection")(out + x_r)
+            out = out + x_skip[1]
+            nodes_new_dst = self._dst_mlp("node_dst_mlp")(out) + out
+            return (x_skip[0], nodes_new_dst), edge_attr
+
         # narrow needs the bucketed tables AND an unused src output (with
         # update_src_nodes the src MLP consumes the embedded rows, which the
         # narrow path never materializes)

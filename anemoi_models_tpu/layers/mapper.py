@@ -106,6 +106,23 @@ class _GraphTransformerBaseMapper(nn.Module):
             return PlannedTables(plan=plan, impl="auto")
         if self.graph_impl != "dense":
             return None
+        from anemoi_models_tpu.parallel.api import get_mesh
+
+        mesh = get_mesh()
+        if (
+            mesh is not None
+            and "model" in mesh.axis_names
+            and mesh.shape["model"] > 1
+            and self._narrow()
+        ):
+            # model-axis parallelism: destination-sharded slot tables + one
+            # narrow-src all-gather (parallel/mapper_conv.py) — the mapper
+            # analogue of the processor's halo routing
+            from anemoi_models_tpu.graphs.partition import mapper_shard_tables
+
+            return mapper_shard_tables(
+                self.sub_graph, num_dst, num_src, int(mesh.shape["model"])
+            )
         from anemoi_models_tpu.graphs.partition import edge_set_gather_tables
         from anemoi_models_tpu.ops.dense_graph import GatherTables, TransposeBundle
 

@@ -21,9 +21,11 @@ __all__ = [
     "PaddedTranspose",
     "TransposeBundle",
     "padded_take",
+    "padded_take_rows",
     "padded_transpose_sum",
     "table_take",
     "take_rows",
+    "unique_take_rows",
 ]
 
 
@@ -74,6 +76,65 @@ def _padded_take_bwd(res, g):
 
 
 padded_take.defvjp(_padded_take_fwd, _padded_take_bwd)
+
+
+@jax.custom_vjp
+def padded_take_rows(x: jnp.ndarray, ids: jnp.ndarray, tab: jnp.ndarray, mask: jnp.ndarray):
+    """Row gather along axis −2 whose backward is a padded-transpose reduce.
+
+    ``x`` (..., R, C), ``ids`` (P,) row per gather position, ``tab`` (R, M)
+    gather positions reading each row (0-padded, ``mask`` (R, M) validity).
+    Layout arrays are primal args, so they may be traced — e.g. shard-sliced
+    inside shard_map (the sharded mapper path, ``parallel/mapper_conv.py``).
+    """
+    return jnp.take(x, ids, axis=-2)
+
+
+def _ptr_fwd(x, ids, tab, mask):
+    return jnp.take(x, ids, axis=-2), (jnp.zeros((), x.dtype), ids, tab, mask)
+
+
+def _ptr_bwd(res, g):
+    import numpy as _np
+
+    carrier, ids, tab, mask = res
+    f0 = jax.dtypes.float0
+    got = jnp.take(g, tab, axis=-2)  # (..., R, M, C)
+    dx = jnp.where(mask[..., None], got, 0).sum(axis=-2).astype(carrier.dtype)
+    return (
+        dx,
+        _np.zeros(ids.shape, dtype=f0),
+        _np.zeros(tab.shape, dtype=f0),
+        _np.zeros(mask.shape, dtype=f0),
+    )
+
+
+padded_take_rows.defvjp(_ptr_fwd, _ptr_bwd)
+
+
+@jax.custom_vjp
+def unique_take_rows(x: jnp.ndarray, ids: jnp.ndarray, inv: jnp.ndarray):
+    """Row gather along axis −2 where each source row is read at most once:
+    the backward is one masked take at ``inv`` (R,) — the flat gather
+    position of each row, −1 = unused. Layout arrays are primal args
+    (traced-safe)."""
+    return jnp.take(x, ids, axis=-2)
+
+
+def _utr_fwd(x, ids, inv):
+    return jnp.take(x, ids, axis=-2), (jnp.zeros((), x.dtype), ids, inv)
+
+
+def _utr_bwd(res, g):
+    import numpy as _np
+
+    carrier, ids, inv = res
+    f0 = jax.dtypes.float0
+    dx = _masked_pos_take(g, inv, inv.shape[0], axis=-2).astype(carrier.dtype)
+    return (dx, _np.zeros(ids.shape, dtype=f0), _np.zeros(inv.shape, dtype=f0))
+
+
+unique_take_rows.defvjp(_utr_fwd, _utr_bwd)
 
 
 @jax.custom_vjp

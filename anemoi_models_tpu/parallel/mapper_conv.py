@@ -1,0 +1,114 @@
+"""Sharded bipartite mapper attention (shard_map, model axis).
+
+The encoder/decoder mappers cross two differently-ordered node sets (data
+grid ↔ hidden mesh), so under a ``model`` mesh axis their gathers cannot stay
+shard-local the way the processor's halo exchange does. The reference solves
+this by sharding edges and head-all-to-all-ing Q/K/V
+(``/root/reference/src/anemoi/models/layers/block.py:366-414``); GSPMD-ing
+that dataflow trips involuntary full rematerializations (full node-tensor
+all-gathers) on the mapper's fused-projection splits.
+
+The TPU-native answer here keeps everything destination-sharded:
+
+- destination rows are contiguously sharded; each shard holds a precomputed
+  (dst_per_shard, cap) slot table (``graphs.partition.mapper_shard_tables``);
+- the only collective is ONE tiled all-gather of the *narrow* source rows
+  (raw inputs ~20 wide for the encoder, C-wide hidden rows for the decoder —
+  never the 2×(H·D) k/v tensors);
+- k/v are projected shard-locally on the gathered slot rows (the
+  narrow-gather trade measured in PERF.md round 2), the per-destination
+  softmax completes within the shard, and every adjoint is a precomputed
+  position-table take — forward and backward are scatter-free.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from anemoi_models_tpu.graphs.partition import MapperShardTables
+from anemoi_models_tpu.ops.dense_graph import padded_take_rows, unique_take_rows
+
+__all__ = ["sharded_mapper_edge_attention"]
+
+
+def sharded_mapper_edge_attention(
+    mesh: Mesh,
+    st: MapperShardTables,
+    query: jnp.ndarray,  # (B, Nd, H, D) destination queries (true rows)
+    src: jnp.ndarray,  # (B, Ns, A) narrow source rows
+    edge_attr: jnp.ndarray,  # (B, E, A_e) raw edge attributes
+    edge_transform: Callable,  # (..., A_e) -> (..., H, D)
+    src_transform: Callable,  # (..., cap, A) -> ((..., cap, H, D) k, v)
+    axis: str = "model",
+) -> jnp.ndarray:
+    """Per-edge bipartite attention, destination-sharded. Returns
+    (B, Nd, H, D). ``edge_transform``/``src_transform`` may close over
+    (traced) parameters — they enter the shard_map region as replicated
+    captures and their gradients psum correctly across shards."""
+    b, n_dst, h, d = query.shape
+    s_n, nps, cap = st.src_ids.shape
+    nsps = st.src_per_shard
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+
+    qp = jnp.pad(query, ((0, 0), (0, s_n * nps - n_dst), (0, 0), (0, 0)))
+    sp = jnp.pad(src, ((0, 0), (0, s_n * nsps - src.shape[1]), (0, 0)))
+
+    # per-slot edge rows, gathered once OUTSIDE shard_map (each edge fills
+    # exactly one slot, so the adjoint is a single masked position-take)
+    e_slots = unique_take_rows(
+        edge_attr, jnp.asarray(st.slot_edge_gids), jnp.asarray(st.pos_of_edge)
+    ).reshape(b, s_n, nps, cap, edge_attr.shape[-1])
+
+    def local(q_blk, s_blk, e_blk, ids_blk, mask_blk, ttab_blk, tmask_blk):
+        # q (B, nps, H, D); s (B, nsps, A); e (B, 1, nps, cap, Ae);
+        # ids/mask (1, nps, cap); ttab/tmask (1, S*nsps, M)
+        src_full = jax.lax.all_gather(s_blk, axis, axis=1, tiled=True)
+        ids = ids_blk[0].reshape(-1)
+        g_n = padded_take_rows(src_full, ids, ttab_blk[0], tmask_blk[0])
+        g_n = g_n.reshape(b, nps, cap, src_full.shape[-1])
+        k_n, v_n = src_transform(g_n)  # each (B, nps, cap, H, D)
+        e_n = edge_transform(e_blk[:, 0])
+        k_n = k_n + e_n
+        v_n = v_n + e_n
+
+        m_blk = mask_blk[0]
+        logits = (
+            jnp.einsum("bnhd,bnkhd->bnkh", q_blk, k_n, preferred_element_type=jnp.float32)
+            * scale
+        )
+        logits = jnp.where(m_blk[..., None], logits, -jnp.inf)
+        m = jnp.max(logits, axis=-2, keepdims=True)
+        m = jnp.where(jnp.isfinite(m), m, 0.0)  # edge-less (padding) rows
+        w = jnp.exp(logits - m)
+        w = jnp.where(m_blk[..., None], w, 0.0)
+        denom = jnp.maximum(w.sum(axis=-2, keepdims=True), 1e-16)
+        alpha = (w / denom).astype(v_n.dtype)
+        return (v_n * alpha[..., None]).sum(axis=-3)  # (B, nps, H, D)
+
+    out = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis, None, None),
+            P(None, axis, None),
+            P(None, axis, None, None, None),
+            P(axis, None, None),
+            P(axis, None, None),
+            P(axis, None, None),
+            P(axis, None, None),
+        ),
+        out_specs=P(None, axis, None, None),
+    )(
+        qp,
+        sp,
+        e_slots,
+        jnp.asarray(st.src_ids),
+        jnp.asarray(st.mask),
+        jnp.asarray(st.t_src_tab),
+        jnp.asarray(st.t_src_mask),
+    )
+    return out[:, :n_dst]

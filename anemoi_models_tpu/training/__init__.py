@@ -2,8 +2,10 @@ from anemoi_models_tpu.training.dataset import (
     H5Dataset,
     MemmapDataset,
     SyntheticSource,
+    ZarrDataset,
     open_dataset,
     save_memmap_dataset,
+    save_zarr_dataset,
 )
 from anemoi_models_tpu.training.evaluate import evaluate_interface, evaluate_rollout, rollout_scores
 from anemoi_models_tpu.training.loader import BatchLoader, WindowSampler, device_prefetch
@@ -18,6 +20,7 @@ __all__ = [
     "H5Dataset",
     "MemmapDataset",
     "SyntheticSource",
+    "ZarrDataset",
     "TrainState",
     "WeightedMSELoss",
     "WindowSampler",
@@ -32,6 +35,7 @@ __all__ = [
     "open_dataset",
     "rollout_scores",
     "save_memmap_dataset",
+    "save_zarr_dataset",
     "train_run",
     "weighted_mse",
 ]

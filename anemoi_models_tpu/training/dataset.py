@@ -32,9 +32,11 @@ __all__ = [
     "H5Dataset",
     "MemmapDataset",
     "SyntheticSource",
+    "ZarrDataset",
     "check_source_layout",
     "open_dataset",
     "save_memmap_dataset",
+    "save_zarr_dataset",
 ]
 
 
@@ -252,10 +254,140 @@ def check_source_layout(iface, source) -> None:
         )
 
 
+class ZarrDataset:
+    """anemoi-datasets zarr store reader (self-contained, see
+    ``training/zarr_store.py``).
+
+    Layout contract (what the reference ecosystem's trainer reads and the
+    reference interface consumes as dicts,
+    ``/root/reference/src/anemoi/models/interface/__init__.py:52-66``):
+
+    - ``data``: (time, variables, ensemble, cell) array;
+    - ``mean`` / ``stdev`` / ``minimum`` / ``maximum``: per-variable
+      statistics arrays (extra leading/trailing singleton axes tolerated);
+    - ``latitudes`` / ``longitudes``: (cell,) coordinates in degrees;
+    - ``name_to_index`` group attribute (or ``variables`` name list).
+
+    ``window`` returns member ``ensemble_member`` (default 0) transposed to
+    the framework's (time, grid, vars) layout.
+    """
+
+    def __init__(self, path: str, ensemble_member: int = 0) -> None:
+        from anemoi_models_tpu.training.zarr_store import ZarrGroup
+
+        self.path = path
+        group = ZarrGroup(path)
+        if "data" not in group:
+            raise ValueError(f"{path}: zarr group has no 'data' array")
+        self._data = group["data"]
+        if len(self._data.shape) != 4:
+            raise ValueError(
+                f"{path}: data must be (time, vars, ensemble, cell); got {self._data.shape}"
+            )
+        self._member = int(ensemble_member)
+        n_vars = self._data.shape[1]
+
+        n2i = group.attrs.get("name_to_index")
+        if n2i:
+            order = sorted(n2i.items(), key=lambda kv: kv[1])
+            self.variables = [name for name, _ in order]
+        elif group.attrs.get("variables"):
+            self.variables = list(group.attrs["variables"])
+        else:
+            raise ValueError(f"{path}: neither name_to_index nor variables in .zattrs")
+        if len(self.variables) != n_vars:
+            raise ValueError(
+                f"{path}: {len(self.variables)} variable names vs {n_vars} data columns"
+            )
+
+        def stat(name: str) -> np.ndarray:
+            if name in group:
+                v = np.asarray(group[name][:], np.float32).reshape(-1)
+            elif name in group.attrs:
+                v = np.asarray(group.attrs[name], np.float32).reshape(-1)
+            else:
+                raise ValueError(f"{path}: no {name!r} statistics array")
+            if v.size != n_vars:
+                raise ValueError(f"{path}: {name} has {v.size} entries for {n_vars} vars")
+            return v
+
+        self.statistics = {k: stat(k) for k in ("mean", "stdev", "minimum", "maximum")}
+
+        lat = np.asarray(group["latitudes"][:], np.float64).reshape(-1)
+        lon = np.asarray(group["longitudes"][:], np.float64).reshape(-1)
+        if np.abs(lat).max() > np.pi:  # stored in degrees (the anemoi convention)
+            lat, lon = np.deg2rad(lat), np.deg2rad(lon)
+        self.coords = np.stack([lat, lon], axis=-1).astype(np.float32)
+
+    def __len__(self) -> int:
+        return self._data.shape[0]
+
+    @property
+    def name_to_index(self) -> dict[str, int]:
+        return {n: i for i, n in enumerate(self.variables)}
+
+    def window(self, start: int, length: int) -> np.ndarray:
+        if start < 0 or start + length > len(self):
+            raise IndexError(f"window [{start}, {start + length}) outside {len(self)} steps")
+        block = self._data[start : start + length]  # (len, vars, ens, cell)
+        member = block[:, :, self._member]  # (len, vars, cell)
+        return np.ascontiguousarray(member.transpose(0, 2, 1), dtype=np.float32)
+
+
+def save_zarr_dataset(
+    path: str,
+    data: np.ndarray,
+    variables: Sequence[str],
+    coords: np.ndarray,
+    statistics: dict | None = None,
+    compressor: dict | None = {"id": "zlib", "level": 1},
+) -> "ZarrDataset":
+    """Write ``(time, grid, vars)`` data as an anemoi-layout zarr store
+    (data transposed to (time, vars, 1, cell), coords in degrees,
+    statistics arrays + name_to_index attrs) and reopen it."""
+    from anemoi_models_tpu.training.zarr_store import (
+        write_zarr_array,
+        write_zarr_group_attrs,
+    )
+
+    data = np.asarray(data, np.float32)
+    if data.ndim != 3 or data.shape[2] != len(variables):
+        raise ValueError(f"need (time, grid, {len(variables)}) data; got {data.shape}")
+    if statistics is None:
+        flat = data.reshape(-1, data.shape[2])
+        statistics = {
+            "mean": flat.mean(0),
+            "stdev": flat.std(0) + 1e-6,
+            "minimum": flat.min(0),
+            "maximum": flat.max(0),
+        }
+    coords = np.asarray(coords, np.float64)
+    anemoi_layout = np.ascontiguousarray(data.transpose(0, 2, 1)[:, :, None, :])
+    write_zarr_group_attrs(
+        path,
+        {
+            "name_to_index": {n: i for i, n in enumerate(variables)},
+            "variables": list(variables),
+            "ensemble_dimension": 1,
+        },
+    )
+    write_zarr_array(path, "data", anemoi_layout, compressor=compressor)
+    for key in ("mean", "stdev", "minimum", "maximum"):
+        write_zarr_array(path, key, np.asarray(statistics[key], np.float32))
+    write_zarr_array(path, "latitudes", np.rad2deg(coords[:, 0]))
+    write_zarr_array(path, "longitudes", np.rad2deg(coords[:, 1]))
+    return ZarrDataset(path)
+
+
 def open_dataset(path: str) -> DataSource:
-    """Open a dataset by path: a MemmapDataset directory or an ``.h5`` file."""
+    """Open a dataset by path: a zarr store (anemoi-datasets layout), a
+    MemmapDataset directory, or an ``.h5`` file."""
     if os.path.isdir(path):
+        if path.endswith(".zarr") or os.path.exists(os.path.join(path, ".zgroup")):
+            return ZarrDataset(path)
         return MemmapDataset(path)
     if path.endswith((".h5", ".hdf5")):
         return H5Dataset(path)
-    raise ValueError(f"unrecognized dataset path {path!r} (want a directory or .h5 file)")
+    raise ValueError(
+        f"unrecognized dataset path {path!r} (want a .zarr store, a memmap directory, or an .h5 file)"
+    )

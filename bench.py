@@ -25,8 +25,49 @@ import numpy as np
 TARGET_GRID_POINTS_PER_S = 1.0e6
 
 
-def _measure_model(model, x, n_out, mode: str, iters: int, batch: int) -> float:
-    """K-chain subtraction timing for one built model; returns grid-points/s."""
+# peak specs for roofline placement: (bf16 FLOP/s, HBM bytes/s)
+_PEAKS = {
+    "v5 lite": (197e12, 819e9),  # v5e
+    "v5e": (197e12, 819e9),
+    "v5p": (459e12, 2765e9),
+    "v5": (459e12, 2765e9),
+    "v4": (275e12, 1228e9),
+    "v6": (918e12, 1640e9),  # trillium
+}
+
+
+def _device_peaks():
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peaks in _PEAKS.items():
+        if key in kind:
+            return peaks
+    return None
+
+
+def _chain_cost(run, params, x):
+    """XLA's own cost analysis of a compiled chain: (flops, bytes accessed)."""
+    ca = run.lower(params, x).compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    if not ca:
+        return None
+    flops = float(ca.get("flops", 0.0))
+    nbytes = float(ca.get("bytes accessed", 0.0))
+    return (flops, nbytes) if flops > 0 and nbytes > 0 else None
+
+
+def _measure_model(model, x, n_out, mode: str, iters: int, batch: int):
+    """K-chain subtraction timing for one built model.
+
+    Returns ``(grid-points/s, roofline_frac | None)``. The roofline fraction
+    places the measured per-forward device time against the compiler's own
+    cost model at the chip's peak specs — ``max(flops/peak_flops,
+    bytes/peak_bw) / measured`` — so "fast" is a hardware fraction rather
+    than a pts/s number subject to session-to-session runtime drift
+    (PERF.md "Runtime variance").
+    """
     import jax
 
     params = jax.jit(model.init)(jax.random.key(0), x)
@@ -67,9 +108,11 @@ def _measure_model(model, x, n_out, mode: str, iters: int, batch: int) -> float:
 
         return run
 
+    chains = {}
+
     def timed(k, repeats=3):
         print(f"bench: compiling {k}-forward chain...", file=sys.stderr, flush=True)
-        run = make_chain(k)
+        run = chains.setdefault(k, make_chain(k))
         float(run(params, x).mean())  # compile + warmup, forced to completion
         print(f"bench: timing {k}-forward chain", file=sys.stderr, flush=True)
         best = float("inf")
@@ -84,7 +127,29 @@ def _measure_model(model, x, n_out, mode: str, iters: int, batch: int) -> float:
     t1 = timed(1)
     tk = timed(1 + iters)
     dt = max(tk - t1, 1e-9)
-    return batch * x.shape[3] * iters / dt
+    gps = batch * x.shape[3] * iters / dt
+
+    roofline_frac = None
+    peaks = _device_peaks()
+    if peaks is not None:
+        try:
+            c1 = _chain_cost(chains[1], params, x)
+            ck = _chain_cost(chains[1 + iters], params, x)
+            if c1 and ck:
+                flops = (ck[0] - c1[0]) / iters
+                nbytes = (ck[1] - c1[1]) / iters
+                t_roof = max(flops / peaks[0], nbytes / peaks[1])
+                roofline_frac = round(t_roof / (dt / iters), 4)
+                print(
+                    f"bench: per-fwd cost {flops / 1e9:.0f} GFLOP / "
+                    f"{nbytes / 2**30:.1f} GiB -> roofline {t_roof * 1e3:.1f} ms, "
+                    f"measured {dt / iters * 1e3:.1f} ms ({roofline_frac:.0%} of roofline)",
+                    file=sys.stderr, flush=True,
+                )
+        except Exception as exc:  # noqa: BLE001 — roofline is best-effort
+            print(f"bench: roofline unavailable ({type(exc).__name__}: {exc})",
+                  file=sys.stderr)
+    return gps, roofline_frac
 
 
 def _probe_devices(budget_s: int) -> bool:
@@ -176,7 +241,7 @@ def main() -> None:
             num_channels=channels, num_layers=layers, dtype=dtype, grid=grid,
             remat_policy=remat, batch_size=batch, graph_impl=graph_impl,
         )
-        gps = _measure_model(model, x, n_out, mode, iters, batch)
+        gps, roofline_frac = _measure_model(model, x, n_out, mode, iters, batch)
         print(
             json.dumps(
                 {
@@ -187,6 +252,7 @@ def main() -> None:
                     "value": round(gps, 1),
                     "unit": "grid-points/s",
                     "vs_baseline": round(gps / TARGET_GRID_POINTS_PER_S, 4),
+                    "roofline_frac": roofline_frac,
                 }
             )
         )
@@ -207,7 +273,8 @@ def main() -> None:
             attention_impl=attention_impl,
             data_order=data_order,
         )
-        return _measure_model(model, x, n_out, mode, iters, batch), x.shape[3]
+        gps, roofline_frac = _measure_model(model, x, n_out, mode, iters, batch)
+        return gps, roofline_frac, x.shape[3]
 
     if autotune:
         # run each path in its OWN subprocess, serially (one device client
@@ -243,7 +310,7 @@ def main() -> None:
         print(json.dumps(best))
         return
 
-    gps, n_grid = measure(graph_impl)
+    gps, roofline_frac, n_grid = measure(graph_impl)
     print(
         json.dumps(
             {
@@ -253,6 +320,7 @@ def main() -> None:
                 "value": round(gps, 1),
                 "unit": "grid-points/s",
                 "vs_baseline": round(gps / TARGET_GRID_POINTS_PER_S, 4),
+                "roofline_frac": roofline_frac,
             }
         )
     )

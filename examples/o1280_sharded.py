@@ -315,14 +315,20 @@ def leg_budget(args) -> None:
                 "params": n_params, "param_gib": round(param_bytes / 2**30, 2),
                 "adam_gib": round(opt_bytes / 2**30, 2),
             }
-            for name, fn, fn_args in (
-                ("forward", jax.jit(model.apply, in_shardings=(replicated, batch_spec)),
-                 (state_s.params, x_s)),
-                ("train_step", jax.jit(
-                    train_step, in_shardings=(replicated, batch_spec, target_spec),
-                    out_shardings=(replicated, replicated), donate_argnums=(0,)),
-                 (state_s, x_s, y_s)),
-            ):
+            programs = {
+                "forward": lambda: (
+                    jax.jit(model.apply, in_shardings=(replicated, batch_spec)),
+                    (state_s.params, x_s),
+                ),
+                "train_step": lambda: (
+                    jax.jit(
+                        train_step, in_shardings=(replicated, batch_spec, target_spec),
+                        out_shardings=(replicated, replicated), donate_argnums=(0,)),
+                    (state_s, x_s, y_s),
+                ),
+            }
+            for name in args.programs.split(","):
+                fn, fn_args = programs[name]()
                 t0 = time.time()
                 compiled = fn.lower(*fn_args).compile()
                 ma = compiled.memory_analysis()
@@ -344,11 +350,15 @@ def leg_budget(args) -> None:
                 log(f"{name} collective audit: {audit}")
                 row[f"{name}_audit_ok"] = audit["ok"]
                 del compiled
+                import gc
+
+                gc.collect()
             results.append(row)
 
-    _write_report(args, "budget", {"topology": args.topology, "hbm_gb": args.hbm_gb,
-                                   "geometry": {"grid": n_grid, "mesh": n_mesh},
-                                   "rows": results})
+    tag = "budget" if args.programs == "forward,train_step" else f"budget_{args.programs.replace(',', '_')}"
+    _write_report(args, tag, {"topology": args.topology, "hbm_gb": args.hbm_gb,
+                              "geometry": {"grid": n_grid, "mesh": n_mesh},
+                              "rows": results})
 
 
 def _write_report(args, leg: str, payload: dict) -> None:
@@ -372,6 +382,11 @@ def main() -> None:
     p.add_argument("--budget", default="512:16,1024:16",
                    help="comma list of channels:layers points for the budget leg")
     p.add_argument("--topology", default="v5p:2x2x2")
+    p.add_argument("--programs", default="forward,train_step",
+                   help="which programs to AOT-compile in this process (the "
+                        "train-step lowering of the 61.7M-edge model peaks "
+                        ">100GB host RAM; run one program per invocation at "
+                        "production widths)")
     p.add_argument("--hbm-gb", type=float, default=95.0)
     args = p.parse_args()
     if args.leg == "graph":

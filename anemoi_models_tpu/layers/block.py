@@ -483,6 +483,11 @@ class GraphTransformerMapperBlock(_GraphTransformerBase):
             out = sharded_mapper_edge_attention(
                 get_mesh(), tables, query_h, src_rows, edge_attr.astype(self.dtype),
                 self._edge_transform(lin_edge), src_transform_sharded,
+                num_chunks=(
+                    self.num_chunks
+                    if not deterministic
+                    else max(self.num_chunks, num_chunks_inference())
+                ),
             )
             out = constrain(out, ("data", "model", None, None)).reshape(
                 bq, num_dst, self.out_channels

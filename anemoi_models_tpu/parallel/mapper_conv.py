@@ -44,11 +44,19 @@ def sharded_mapper_edge_attention(
     edge_transform: Callable,  # (..., A_e) -> (..., H, D)
     src_transform: Callable,  # (..., cap, A) -> ((..., cap, H, D) k, v)
     axis: str = "model",
+    num_chunks: int = 1,
 ) -> jnp.ndarray:
     """Per-edge bipartite attention, destination-sharded. Returns
     (B, Nd, H, D). ``edge_transform``/``src_transform`` may close over
     (traced) parameters — they enter the shard_map region as replicated
-    captures and their gradients psum correctly across shards."""
+    captures and their gradients psum correctly across shards.
+
+    ``num_chunks`` > 1 processes destination rows in chunks (each under
+    ``jax.checkpoint``): the wide (H·D) k/v/edge slot slabs — the dominant
+    live tensors at production scale, ~42 GiB/chip at O1280 C=512 — become
+    per-chunk transients, while the *narrow* gathered rows stay whole-shard
+    so the scatter-free source adjoint needs no per-chunk tables. Chunking
+    splits complete destination rows, so softmax semantics are unchanged."""
     b, n_dst, h, d = query.shape
     s_n, nps, cap = st.src_ids.shape
     nsps = st.src_per_shard
@@ -63,6 +71,25 @@ def sharded_mapper_edge_attention(
         edge_attr, jnp.asarray(st.slot_edge_gids), jnp.asarray(st.pos_of_edge)
     ).reshape(b, s_n, nps, cap, edge_attr.shape[-1])
 
+    def rows_attention(q_c, g_c, e_c, m_c):
+        """Complete-row slot attention on a chunk of destination rows."""
+        k_n, v_n = src_transform(g_c)  # each (B, rows, cap, H, D)
+        e_n = edge_transform(e_c)
+        k_n = k_n + e_n
+        v_n = v_n + e_n
+        logits = (
+            jnp.einsum("bnhd,bnkhd->bnkh", q_c, k_n, preferred_element_type=jnp.float32)
+            * scale
+        )
+        logits = jnp.where(m_c[..., None], logits, -jnp.inf)
+        m = jnp.max(logits, axis=-2, keepdims=True)
+        m = jnp.where(jnp.isfinite(m), m, 0.0)  # edge-less (padding) rows
+        w = jnp.exp(logits - m)
+        w = jnp.where(m_c[..., None], w, 0.0)
+        denom = jnp.maximum(w.sum(axis=-2, keepdims=True), 1e-16)
+        alpha = (w / denom).astype(v_n.dtype)
+        return (v_n * alpha[..., None]).sum(axis=-3)  # (B, rows, H, D)
+
     def local(q_blk, s_blk, e_blk, ids_blk, mask_blk, ttab_blk, tmask_blk):
         # q (B, nps, H, D); s (B, nsps, A); e (B, 1, nps, cap, Ae);
         # ids/mask (1, nps, cap); ttab/tmask (1, S*nsps, M)
@@ -70,24 +97,19 @@ def sharded_mapper_edge_attention(
         ids = ids_blk[0].reshape(-1)
         g_n = padded_take_rows(src_full, ids, ttab_blk[0], tmask_blk[0])
         g_n = g_n.reshape(b, nps, cap, src_full.shape[-1])
-        k_n, v_n = src_transform(g_n)  # each (B, nps, cap, H, D)
-        e_n = edge_transform(e_blk[:, 0])
-        k_n = k_n + e_n
-        v_n = v_n + e_n
-
+        e_raw = e_blk[:, 0]
         m_blk = mask_blk[0]
-        logits = (
-            jnp.einsum("bnhd,bnkhd->bnkh", q_blk, k_n, preferred_element_type=jnp.float32)
-            * scale
-        )
-        logits = jnp.where(m_blk[..., None], logits, -jnp.inf)
-        m = jnp.max(logits, axis=-2, keepdims=True)
-        m = jnp.where(jnp.isfinite(m), m, 0.0)  # edge-less (padding) rows
-        w = jnp.exp(logits - m)
-        w = jnp.where(m_blk[..., None], w, 0.0)
-        denom = jnp.maximum(w.sum(axis=-2, keepdims=True), 1e-16)
-        alpha = (w / denom).astype(v_n.dtype)
-        return (v_n * alpha[..., None]).sum(axis=-3)  # (B, nps, H, D)
+        if num_chunks <= 1:
+            return rows_attention(q_blk, g_n, e_raw, m_blk)
+        bounds = [round(i * nps / num_chunks) for i in range(num_chunks + 1)]
+        outs = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            outs.append(
+                jax.checkpoint(rows_attention)(
+                    q_blk[:, lo:hi], g_n[:, lo:hi], e_raw[:, lo:hi], m_blk[lo:hi]
+                )
+            )
+        return jnp.concatenate(outs, axis=1)
 
     out = jax.shard_map(
         local,

@@ -180,7 +180,7 @@ def leg_run(args) -> None:
 
     model, indices = make_model(
         graph, channels=args.channels, layers=args.layers, heads=args.heads,
-        n_vars=args.vars,
+        n_vars=args.vars, num_chunks=args.mapper_chunks,
     )
     n_in = len(indices.internal_model.input)
     n_out = len(indices.internal_model.output)
@@ -279,7 +279,8 @@ def leg_budget(args) -> None:
         channels, layers = (int(v) for v in spec.split(":"))
         log(f"--- C={channels} L={layers} vars={args.vars} bf16 ---")
         model, indices = make_model(
-            graph, channels=channels, layers=layers, heads=args.heads, n_vars=args.vars
+            graph, channels=channels, layers=layers, heads=args.heads, n_vars=args.vars,
+            num_chunks=args.mapper_chunks,
         )
         n_in = len(indices.internal_model.input)
         n_out = len(indices.internal_model.output)
@@ -382,6 +383,9 @@ def main() -> None:
     p.add_argument("--budget", default="512:16,1024:16",
                    help="comma list of channels:layers points for the budget leg")
     p.add_argument("--topology", default="v5p:2x2x2")
+    p.add_argument("--mapper-chunks", type=int, default=2,
+                   help="dst-row chunks in the sharded mappers (bounds the "
+                        "k/v/edge slot slabs, the dominant HBM term at scale)")
     p.add_argument("--programs", default="forward,train_step",
                    help="which programs to AOT-compile in this process (the "
                         "train-step lowering of the 61.7M-edge model peaks "

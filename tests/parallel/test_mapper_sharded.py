@@ -41,14 +41,16 @@ def _largest_collective(hlo: str, kinds=("all-gather",)) -> dict:
     return biggest
 
 
-def test_forward_mapper_sharded_matches_unsharded(graph):
+@pytest.mark.parametrize("num_chunks", [1, 3])
+def test_forward_mapper_sharded_matches_unsharded(graph, num_chunks):
     es = graph[("data", "to", "hidden")]
     ng, nm = graph["data"].num_nodes, graph["hidden"].num_nodes
     x = (
         jnp.asarray(np.random.RandomState(0).randn(1, ng, 10), jnp.float32),
         jnp.asarray(np.random.RandomState(1).randn(1, nm, 12), jnp.float32),
     )
-    kw = dict(in_channels_src=10, in_channels_dst=12, hidden_dim=32, num_heads=4, sub_graph=es)
+    kw = dict(in_channels_src=10, in_channels_dst=12, hidden_dim=32, num_heads=4,
+              num_chunks=num_chunks, sub_graph=es)
     mapper = GraphTransformerForwardMapper(kv_src_gather="narrow", **kw)
 
     params = mapper.init(jax.random.key(0), x)

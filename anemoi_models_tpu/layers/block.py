@@ -207,6 +207,34 @@ class _GraphTransformerBase(nn.Module):
     num_chunks: int = 1
     dtype: jnp.dtype = jnp.float32
 
+    def _probe_affine(self, layer: nn.Module, in_dim: int):
+        """(W, b) of a Dense, read out at trace time by one (in_dim+1)-row
+        identity pass through the layer — the parameter tree stays exactly
+        the layer's own, but the weights become available as arrays for the
+        commuted dataflow (XLA folds ``eye @ W`` away)."""
+        probe = jnp.concatenate(
+            [jnp.eye(in_dim, dtype=self.dtype), jnp.zeros((1, in_dim), self.dtype)], axis=0
+        )
+        wb = layer(probe)
+        # Dense adds the bias to EVERY row: eye @ W + b = W + b, 0 @ W + b = b
+        return wb[:-1] - wb[-1], wb[-1]
+
+    def _commuted_proj(self, w_kv, b_kv, lin_edge, edge_dim: int):
+        """Build a :class:`CommutedProj` from probed [k|v] and edge affines."""
+        from anemoi_models_tpu.ops.dense_graph import CommutedProj
+
+        width = self.num_heads * self.out_channels_conv
+        hd = (self.num_heads, self.out_channels_conv)
+        w_e, b_e = self._probe_affine(lin_edge, edge_dim)
+        return CommutedProj(
+            w_k=w_kv[:, :width].reshape(-1, *hd),
+            w_v=w_kv[:, width:].reshape(-1, *hd),
+            w_e=w_e.reshape(edge_dim, *hd),
+            # k-side biases are constant over a destination's neighbors —
+            # softmax-invariant, dropped; v/edge biases land on the output
+            b_out=(b_kv[width:] + b_e).reshape(hd),
+        )
+
     @property
     def out_channels_conv(self) -> int:
         assert self.out_channels % self.num_heads == 0, (
@@ -236,7 +264,7 @@ class _GraphTransformerBase(nn.Module):
 
         return transform
 
-    def _conv_chunked(self, query, key, value, edges, edge_index, num_dst, num_chunks, tables=None, edge_transform=None, src_transform=None):
+    def _conv_chunked(self, query, key, value, edges, edge_index, num_dst, num_chunks, tables=None, edge_transform=None, src_transform=None, commute=None):
         """Edge-chunked per-edge attention. Chunking splits the (CSR-sorted)
         edge set, so per-destination softmax normalization must span chunks:
         compute unnormalized exp-weighted sums + normalizers per chunk and
@@ -246,7 +274,9 @@ class _GraphTransformerBase(nn.Module):
         live memory is already bounded by the padded degree).
         """
         if isinstance(tables, HaloTables):
-            assert src_transform is None, "narrow-source gather is a bucketed-tables feature"
+            assert src_transform is None and commute is None, (
+                "narrow-source dataflows are a bucketed-tables feature"
+            )
             from anemoi_models_tpu.ops.slot_attention import _affine_from_closure
             from anemoi_models_tpu.parallel.api import get_mesh
             from anemoi_models_tpu.parallel.halo_conv import (
@@ -277,9 +307,11 @@ class _GraphTransformerBase(nn.Module):
         if tables is not None or num_chunks <= 1:
             return graph_transformer_conv(
                 query, key, value, edges, edge_index, num_dst, tables, edge_transform,
-                src_transform=src_transform,
+                src_transform=src_transform, commute=commute,
             )
-        assert src_transform is None, "narrow-source gather is a bucketed-tables feature"
+        assert src_transform is None and commute is None, (
+            "narrow-source dataflows are a bucketed-tables feature"
+        )
         # Flash-style two-pass over edge chunks: pass 1 accumulates the
         # per-destination max logit, pass 2 the exp-weighted sums. Correct
         # softmax across chunk boundaries at O(E/num_chunks) live memory.
@@ -340,7 +372,17 @@ class _GraphTransformerBase(nn.Module):
 
 class GraphTransformerProcessorBlock(_GraphTransformerBase):
     """Per-edge attention block on a homogeneous graph
-    (reference ``block.py:553-635``)."""
+    (reference ``block.py:553-635``).
+
+    ``kv_src_gather="commute"`` (the "auto" default on the dense bucketed
+    path) gathers the LayerNormed node rows ONCE and moves the k/v/edge
+    projections across the gather onto the query/output sides
+    (:func:`~anemoi_models_tpu.ops.dense_graph.commuted_edge_attention`):
+    half the wide path's gather bytes, zero matmuls on the padded slot axis,
+    identical parameter tree (the fused ``lin_qkvs`` kernel is probed, not
+    split)."""
+
+    kv_src_gather: str = "auto"
 
     @nn.compact
     def __call__(
@@ -352,14 +394,38 @@ class GraphTransformerProcessorBlock(_GraphTransformerBase):
         deterministic: bool = True,
         tables=None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        from anemoi_models_tpu.ops.dense_graph import GatherTables
+
         num_dst = num_dst or x.shape[-2]
         x_skip = x
         x = AutocastLayerNorm(name="layer_norm1")(x)
         width = self.num_heads * self.out_channels_conv
-        # one fused matmul for query/key/value/self (all project the same x)
-        qkvs = nn.Dense(4 * width, use_bias=self.bias, dtype=self.dtype, name="lin_qkvs")(x)
-        query, key, value, x_r = jnp.split(qkvs, 4, axis=-1)
+        lin_qkvs = nn.Dense(4 * width, use_bias=self.bias, dtype=self.dtype, name="lin_qkvs")
         lin_edge = self._edge_dense()
+        if self.kv_src_gather in ("auto", "commute") and isinstance(tables, GatherTables):
+            w, b = self._probe_affine(lin_qkvs, x.shape[-1])
+            # query + self projections run on the nodes as usual (columns
+            # [q | r] of the fused kernel); k/v columns ride the conv commuted
+            w_qr = jnp.concatenate([w[:, :width], w[:, 3 * width:]], axis=-1)
+            b_qr = jnp.concatenate([b[:width], b[3 * width:]], axis=-1)
+            query, x_r = jnp.split(x @ w_qr + b_qr, 2, axis=-1)
+            proj = self._commuted_proj(
+                w[:, width: 3 * width], b[width: 3 * width], lin_edge, edge_attr.shape[-1]
+            )
+            out = self._conv_chunked(
+                self._heads(query), x, None, edge_attr, edge_index, num_dst, 1,
+                tables, commute=proj,
+            )
+            b_, n_ = out.shape[0], out.shape[1]
+            out = constrain(out, ("data", None, "model", None)).reshape(b_, n_, self.out_channels)
+            out = constrain(out, ("data", "model", None))
+            out = nn.Dense(self.out_channels, dtype=self.dtype, name="projection")(out + x_r)
+            out = out + x_skip
+            nodes_new = self._dst_mlp("node_dst_mlp")(out) + out
+            return constrain(nodes_new, ("data", "model", None)), edge_attr
+        # one fused matmul for query/key/value/self (all project the same x)
+        qkvs = lin_qkvs(x)
+        query, key, value, x_r = jnp.split(qkvs, 4, axis=-1)
         halo = isinstance(tables, HaloTables)
         if halo:
             # node axis stays sharded; the halo shard_map owns the layout
@@ -471,6 +537,21 @@ class GraphTransformerMapperBlock(_GraphTransformerBase):
                 src_transform_sharded(x[0][:, :1, None, :])
                 self._edge_transform(lin_edge)(edge_attr[..., :1, :])
 
+            commute_kw = {}
+            if self.kv_src_gather in ("auto", "commute"):
+                # zero-slot-matmul dataflow: the (H·D) k/v slot slabs — the
+                # dominant O1280 temp term — never exist; probes run OUTSIDE
+                # the shard_map, so weights enter as replicated captures
+                w_kv, b_kv = self._probe_affine(lin_kv, self.in_channels)
+                proj = self._commuted_proj(w_kv, b_kv, lin_edge, edge_attr.shape[-1])
+                if emb_src is not None:
+                    commute_kw = dict(
+                        commute=proj,
+                        src_feat_transform=lambda g: ln_src(emb_src(g)),
+                    )
+                else:
+                    commute_kw = dict(commute=proj)
+
             bq = query.shape[0]
             query_h = constrain(
                 query.reshape(bq, -1, self.num_heads, self.out_channels_conv),
@@ -479,7 +560,12 @@ class GraphTransformerMapperBlock(_GraphTransformerBase):
             # cast raw rows to the compute dtype BEFORE the all-gather and
             # slot gathers: everything downstream is self.dtype anyway, and
             # the slot tensors are the largest arrays in the sharded mapper
-            src_rows = constrain(x[0].astype(self.dtype), ("data", "model", None))
+            src_rows = x[0]
+            if commute_kw and emb_src is None:
+                # LN is per-row: run it on the (sharded) source nodes and
+                # gather its output — no per-slot LN in the commuted dataflow
+                src_rows = ln_src(src_rows)
+            src_rows = constrain(src_rows.astype(self.dtype), ("data", "model", None))
             out = sharded_mapper_edge_attention(
                 get_mesh(), tables, query_h, src_rows, edge_attr.astype(self.dtype),
                 self._edge_transform(lin_edge), src_transform_sharded,
@@ -488,6 +574,7 @@ class GraphTransformerMapperBlock(_GraphTransformerBase):
                     if not deterministic
                     else max(self.num_chunks, num_chunks_inference())
                 ),
+                **commute_kw,
             )
             out = constrain(out, ("data", "model", None, None)).reshape(
                 bq, num_dst, self.out_channels
@@ -498,15 +585,13 @@ class GraphTransformerMapperBlock(_GraphTransformerBase):
             nodes_new_dst = self._dst_mlp("node_dst_mlp")(out) + out
             return (x_skip[0], nodes_new_dst), edge_attr
 
-        # narrow needs the bucketed tables AND an unused src output (with
-        # update_src_nodes the src MLP consumes the embedded rows, which the
-        # narrow path never materializes)
-        narrow = (
-            self.kv_src_gather == "narrow"
-            and isinstance(tables, GatherTables)
-            and not self.update_src_nodes
-        )
-        if self.kv_src_gather == "narrow" and not narrow:
+        # narrow/commute need the bucketed tables AND an unused src output
+        # (with update_src_nodes the src MLP consumes the embedded rows,
+        # which these paths never materialize)
+        mode = self.kv_src_gather
+        if mode in ("narrow", "commute") and not (
+            isinstance(tables, GatherTables) and not self.update_src_nodes
+        ):
             import warnings
 
             reason = (
@@ -515,9 +600,43 @@ class GraphTransformerMapperBlock(_GraphTransformerBase):
                 else f"tables are {type(tables).__name__}, not dense GatherTables"
             )
             warnings.warn(
-                f"kv_src_gather='narrow' cannot be honored ({reason}); using the wide dataflow",
+                f"kv_src_gather={mode!r} cannot be honored ({reason}); using the wide dataflow",
                 stacklevel=2,
             )
+            mode = "wide"
+        narrow = mode == "narrow"
+        if mode == "commute":
+            # zero-slot-matmul dataflow: gather the narrow source rows once,
+            # k/v/edge projections commuted onto the query/output sides
+            query = self._heads(query)
+            if emb_src is not None:
+                # the embed→LN prefix is nonlinear per-row: it commutes with
+                # the gather (runs on gathered raw rows) but not with w_kv
+                src_feats = x[0].astype(self.dtype)
+                src_feat_transform = lambda g: ln_src(emb_src(g))  # noqa: E731
+            else:
+                # LN is per-row too — run it on the nodes, gather its output
+                src_feats = ln_src(x[0]).astype(self.dtype)
+                src_feat_transform = None
+            w_kv, b_kv = self._probe_affine(lin_kv, self.in_channels)
+            proj = self._commuted_proj(w_kv, b_kv, lin_edge, edge_attr.shape[-1])
+            num_chunks = (
+                self.num_chunks if not deterministic
+                else max(self.num_chunks, num_chunks_inference())
+            )
+            out = self._conv_chunked(
+                query, src_feats, None, edge_attr, edge_index, num_dst, num_chunks,
+                tables, src_transform=src_feat_transform, commute=proj,
+            )
+            b = out.shape[0]
+            out = constrain(out, ("data", None, "model", None)).reshape(
+                b, num_dst, self.out_channels
+            )
+            out = constrain(out, ("data", "model", None))
+            out = nn.Dense(self.out_channels, dtype=self.dtype, name="projection")(out + x_r)
+            out = out + x_skip[1]
+            nodes_new_dst = self._dst_mlp("node_dst_mlp")(out) + out
+            return (x_skip[0], nodes_new_dst), edge_attr
         if narrow:
             query = self._heads(query)
             edges = edge_attr

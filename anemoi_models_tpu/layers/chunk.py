@@ -102,6 +102,7 @@ class GraphTransformerProcessorChunk(nn.Module):
     num_heads: int = 16
     mlp_hidden_ratio: int = 4
     activation: str = "GELU"
+    kv_src_gather: str = "auto"
     deterministic: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -120,6 +121,7 @@ class GraphTransformerProcessorChunk(nn.Module):
                 out_channels=self.num_channels,
                 num_heads=self.num_heads,
                 activation=self.activation,
+                kv_src_gather=self.kv_src_gather,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, edge_attr, edge_index, None, self.deterministic, tables)

@@ -22,6 +22,7 @@ from anemoi_models_tpu.layers.mlp import MLP
 from anemoi_models_tpu.ops.dense_graph import (
     bucketed_edge_attention,
     bucketed_neighbor_sum,
+    commuted_edge_attention,
 )
 from anemoi_models_tpu.ops.segment import gather_nodes, segment_softmax, segment_sum
 
@@ -143,6 +144,7 @@ def graph_transformer_conv(
     tables=None,
     edge_transform=None,
     src_transform=None,
+    commute=None,
 ) -> jnp.ndarray:
     """Per-edge multi-head attention restricted to graph edges.
 
@@ -153,23 +155,38 @@ def graph_transformer_conv(
     path. With ``src_transform`` (bucketed path only), ``key`` is a narrow
     (B, Ns, A) source tensor gathered once and projected to k/v per gathered
     row (see :func:`anemoi_models_tpu.ops.dense_graph.bucketed_edge_attention`).
+    With ``commute`` (a :class:`~anemoi_models_tpu.ops.dense_graph.CommutedProj`,
+    bucketed path only), ``key`` is the narrow source-feature tensor,
+    ``edge_attr`` the raw edge attrs, and the k/v/edge projections run on the
+    query/output sides — zero matmuls on the padded slot axis
+    (:func:`~anemoi_models_tpu.ops.dense_graph.commuted_edge_attention`).
     """
     if tables is not None:
         from anemoi_models_tpu.ops.slot_attention import PlannedTables, planned_edge_attention
 
         if isinstance(tables, PlannedTables):
             # fused slot-layout path (Pallas kernel on TPU, jnp twin elsewhere)
-            assert src_transform is None, "narrow-source gather is a bucketed-tables feature"
+            assert src_transform is None and commute is None, (
+                "narrow-source dataflows are a bucketed-tables feature"
+            )
             return planned_edge_attention(
                 query, key, value, edge_attr, edge_transform, tables.plan, impl=tables.impl
             )
         buckets, reassemble, *rest = tables
+        if commute is not None:
+            return commuted_edge_attention(
+                query, key, edge_attr, buckets, reassemble, commute,
+                transpose=rest[0] if rest else None,
+                src_feat_transform=src_transform,
+            )
         return bucketed_edge_attention(
             query, key, value, edge_attr, buckets, reassemble, edge_transform,
             transpose=rest[0] if rest else None,
             src_transform=src_transform,
         )
-    assert src_transform is None, "narrow-source gather is a bucketed-tables feature"
+    assert src_transform is None and commute is None, (
+        "narrow-source dataflows are a bucketed-tables feature"
+    )
     if num_dst is None:
         num_dst = query.shape[-3]
     out_channels = query.shape[-1]

@@ -55,31 +55,38 @@ class _GraphTransformerBaseMapper(nn.Module):
     graph_impl: str = "dense"
     plan_block_nodes: int = 0  # kernel-plan geometry; 0 = default (128)
     plan_slab_width: int = 0  # 0 = auto-select
-    # "narrow": gather raw source rows once and project k/v after the gather
-    # (numerically identical — per-row ops commute with row gathers — and
-    # 2–20× fewer gather bytes); "wide": reference dataflow (k/v projected on
-    # all rows, two wide gathers); "auto": narrow whenever the dense bucketed
-    # tables are in play.
+    # "commute" (the "auto" default on the dense path): gather the narrow
+    # source rows once and move the k/v projections across the gather onto
+    # the query/output sides — zero matmuls on the padded slot axis
+    # (ops/dense_graph.commuted_edge_attention); "narrow": gather raw source
+    # rows once and project k/v after the gather (numerically identical —
+    # per-row ops commute with row gathers — and 2–20× fewer gather bytes);
+    # "wide": reference dataflow (k/v projected on all rows, two wide
+    # gathers).
     kv_src_gather: str = "auto"
     deterministic: bool = True
     dtype: jnp.dtype = jnp.float32
 
-    def _narrow(self) -> bool:
+    def _dataflow(self) -> str:
+        """Resolved conv dataflow: "commute" | "narrow" | "wide"."""
         if self.kv_src_gather == "auto":
-            return self.graph_impl == "dense"
-        if self.kv_src_gather == "narrow" and self.graph_impl != "dense":
+            return "commute" if self.graph_impl == "dense" else "wide"
+        if self.kv_src_gather in ("narrow", "commute") and self.graph_impl != "dense":
             import warnings
 
             # an explicit request that cannot be honored must say so
             # ('auto' degrades silently by design)
             warnings.warn(
-                f"kv_src_gather='narrow' requires the dense bucketed gather "
-                f"tables; graph_impl={self.graph_impl!r} has none, so the "
-                "wide dataflow is used instead",
+                f"kv_src_gather={self.kv_src_gather!r} requires the dense "
+                f"bucketed gather tables; graph_impl={self.graph_impl!r} has "
+                "none, so the wide dataflow is used instead",
                 stacklevel=2,
             )
-            return False
-        return self.kv_src_gather == "narrow"
+            return "wide"
+        return self.kv_src_gather
+
+    def _narrow(self) -> bool:
+        return self._dataflow() in ("narrow", "commute")
 
     def _edges(self, batch_size: int) -> tuple[jnp.ndarray, jnp.ndarray]:
         edge_attr_np, edge_index_np, _ = register_edges(
@@ -145,7 +152,7 @@ class _GraphTransformerBaseMapper(nn.Module):
             num_heads=self.num_heads,
             activation=self.activation,
             num_chunks=self.num_chunks,
-            kv_src_gather="narrow" if self._narrow() else "wide",
+            kv_src_gather=self._dataflow(),
             src_embed_dim=src_embed_dim,
             dtype=self.dtype,
             name="proc",

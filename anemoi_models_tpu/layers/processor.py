@@ -288,6 +288,7 @@ class GraphTransformerProcessor(nn.Module):
     src_grid_size: int = 0
     dst_grid_size: int = 0
     graph_impl: str = "dense"
+    kv_src_gather: str = "auto"
     remat_policy: str = "full"
     deterministic: bool = True
     dtype: jnp.dtype = jnp.float32
@@ -313,6 +314,7 @@ class GraphTransformerProcessor(nn.Module):
                 num_heads=self.num_heads,
                 mlp_hidden_ratio=self.mlp_hidden_ratio,
                 activation=self.activation,
+                kv_src_gather=self.kv_src_gather,
                 deterministic=self.deterministic,
                 dtype=self.dtype,
                 name=f"proc_{c}",

@@ -95,9 +95,14 @@ def dot_product_attention(
     if impl == "pallas" and dropout_rate > 0.0:
         impl = "chunked"
     if impl == "pallas":
+        import os
+
         from anemoi_models_tpu.ops.pallas.flash_attention import flash_attention
 
-        return flash_attention(query, key, value, window_size, is_causal)
+        return flash_attention(
+            query, key, value, window_size, is_causal,
+            int(os.environ.get("ANEMOI_FLASH_BLOCK", "128")),
+        )
     if impl == "chunked":
         from anemoi_models_tpu.ops.pallas.flash_attention import blockwise_attention
 

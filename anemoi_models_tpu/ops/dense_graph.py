@@ -18,6 +18,8 @@ __all__ = [
     "gather_edges",
     "masked_neighbor_sum",
     "dense_edge_attention",
+    "CommutedProj",
+    "commuted_edge_attention",
     "PaddedTranspose",
     "TransposeBundle",
     "padded_take",
@@ -400,6 +402,144 @@ def bucketed_neighbor_sum(
 
         return take_rows(cat, reassemble, -2, re_adjoint)
     return jnp.take(cat, reassemble, axis=-2)
+
+
+class CommutedProj(NamedTuple):
+    """Projection weights for :func:`commuted_edge_attention` — the k/v/edge
+    linear maps moved across the gather/softmax onto the query and output
+    sides. Probed from the owning ``nn.Dense`` modules at trace time (an
+    identity-matrix row through the layer), so the parameter tree is exactly
+    the wide path's."""
+
+    w_k: jnp.ndarray  # (C, H, D) key projection (applied to the query)
+    w_v: jnp.ndarray  # (C, H, D) value projection (applied to the pooled feats)
+    w_e: Optional[jnp.ndarray]  # (A, H, D) edge projection, or None
+    b_out: Optional[jnp.ndarray]  # (H, D) value+edge bias, added where edges exist
+
+
+def commuted_edge_attention(
+    query: jnp.ndarray,
+    src_feats: jnp.ndarray,
+    edge_raw,
+    buckets,
+    reassemble: jnp.ndarray,
+    proj: CommutedProj,
+    transpose=None,
+    src_feat_transform=None,
+) -> jnp.ndarray:
+    """Per-edge attention with the k/v/edge projections commuted across the
+    gather — the zero-slot-matmul dataflow.
+
+    Identity used: with ``k_j = W_k f_j + b_k + W_e e_j + b_e`` the logits are
+
+        q · k_j  =  (W_kᵀ q) · f_j  +  (W_eᵀ q) · e_j  +  q · (b_k + b_e)
+
+    and the bias term is constant over the neighbors of a destination, so the
+    softmax is unchanged when it is dropped. On the value side the α-weighted
+    sum commutes with the linear map:
+
+        Σ_j α_j (W_v f_j + W_e e_j + b)  =  W_v (Σ α_j f_j) + W_e (Σ α_j e_j) + b
+
+    (Σα = 1 where the destination has any edge, 0 otherwise). So the conv
+    gathers ONE narrow feature tensor (``src_feats``, C- or A-wide) plus the
+    raw edge attrs, and runs zero matmuls on the padded slot axis: the wide
+    path's per-slot k/v projections become per-*node* projections of the query
+    and the pooled output. Halves the mapper/processor gather bytes relative
+    to the ``src_transform`` narrow path AND removes its padded-slot FLOPs
+    (e.g. the O96 encoder's ~131 GFLOP k/v slot projection).
+
+    ``query`` (B, N, H, D); ``src_feats`` (B, Ns, F) pre-projection source
+    features (already LayerNormed when the model LNs before k/v — LN is
+    per-row, so it commutes with the row gather and runs on nodes, not slots);
+    ``src_feat_transform`` (optional) applies any *nonlinear* per-row prefix
+    (e.g. the encoder's embed→LN on raw rows) to the gathered slots, F → C.
+    ``edge_raw`` (B, E, A) raw edge attributes or None. Numerically equal to
+    the wide path up to fp reassociation of the moved matmuls.
+    """
+    num_edges = None if edge_raw is None else edge_raw.shape[-2]
+    dt = query.dtype
+    scale = 1.0 / jnp.sqrt(jnp.asarray(query.shape[-1], jnp.float32))
+    outs = []
+    for i, (node_ids, edge_ids, src_ids, mask) in enumerate(buckets):
+        adj_q = adj_src_flat = adj_e2 = None
+        if transpose is not None:
+            tb = transpose.per_bucket[i]
+            nb, cap = src_ids.shape
+            num_src = transpose.num_src
+            num_dst = len(transpose.node_concat)
+
+            def adj_q(g, pon=tb["pos_of_node"], nd=num_dst):
+                return _masked_pos_take(g, pon, nd, axis=-3)
+
+            def adj_src_flat(g, t=tb["t_src"], nb=nb, cap=cap, ns=num_src):
+                gf = g.reshape(*g.shape[:-3], nb * cap, g.shape[-1])
+                return _transpose_sum(gf, t, ns)
+
+            def adj_e2(g, poe=tb["pos_of_edge"], nb=nb, cap=cap, ne=num_edges):
+                gf = g.reshape(*g.shape[:-3], nb * cap, g.shape[-1])
+                return _masked_pos_take(gf, poe, ne, axis=-2)
+
+        q_b = take_rows(query, node_ids, -3, adj_q)  # (B, nb, H, D)
+        g_n = take_rows(src_feats, src_ids, -2, adj_src_flat)  # (B, nb, cap, F)
+        f_n = g_n if src_feat_transform is None else src_feat_transform(g_n)
+
+        # query-side projections: (B, nb, H, C) / (B, nb, H, A) — per-node
+        # matmuls; rounded to the compute dtype so the slot contractions stay
+        # on the bf16 MXU path
+        qk = jnp.einsum(
+            "...nhd,chd->...nhc", q_b, proj.w_k, preferred_element_type=jnp.float32
+        ).astype(dt)
+        logits = jnp.einsum(
+            "...nhc,...nkc->...nkh", qk, f_n, preferred_element_type=jnp.float32
+        )
+        if edge_raw is not None:
+            e_n = take_rows(edge_raw, edge_ids, -2, adj_e2)  # (B, nb, cap, A)
+            qe = jnp.einsum(
+                "...nhd,ahd->...nha", q_b, proj.w_e, preferred_element_type=jnp.float32
+            ).astype(dt)
+            logits = logits + jnp.einsum(
+                "...nha,...nka->...nkh", qe, e_n, preferred_element_type=jnp.float32
+            )
+        logits = logits * scale
+        logits = jnp.where(mask[..., None], logits, -jnp.inf)
+        m = jnp.max(logits, axis=-2, keepdims=True)
+        m = jnp.where(jnp.isfinite(m), m, 0.0)
+        w = jnp.exp(logits - m)
+        w = jnp.where(mask[..., None], w, 0.0)
+        denom = jnp.maximum(w.sum(axis=-2, keepdims=True), 1e-16)
+        alpha = (w / denom).astype(dt)  # (B, nb, cap, H)
+
+        # pooled features, then the commuted value projection per node
+        s = jnp.einsum(
+            "...nkh,...nkc->...nhc", alpha, f_n, preferred_element_type=jnp.float32
+        ).astype(dt)
+        out_b = jnp.einsum(
+            "...nhc,chd->...nhd", s, proj.w_v, preferred_element_type=jnp.float32
+        ).astype(dt)
+        if edge_raw is not None:
+            se = jnp.einsum(
+                "...nkh,...nka->...nha", alpha, e_n, preferred_element_type=jnp.float32
+            ).astype(dt)
+            out_b = out_b + jnp.einsum(
+                "...nha,ahd->...nhd", se, proj.w_e, preferred_element_type=jnp.float32
+            ).astype(dt)
+        if proj.b_out is not None:
+            # Σα is exactly 1 where the destination has any live slot and 0
+            # otherwise — use the static mask so the bias lands exactly
+            has_edge = mask.any(axis=-1)  # (nb,)
+            out_b = out_b + (
+                has_edge[:, None, None] * proj.b_out.astype(dt)
+            )
+        outs.append(out_b)
+    cat = jnp.concatenate(outs, axis=-3)
+    if transpose is not None:
+        nc = transpose.node_concat
+
+        def re_adjoint(g, nc=nc):
+            return jnp.take(g, jnp.asarray(nc), axis=-3)
+
+        return take_rows(cat, reassemble, -3, re_adjoint)
+    return jnp.take(cat, reassemble, axis=-3)
 
 
 def bucketed_edge_attention(

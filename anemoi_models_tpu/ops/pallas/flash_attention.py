@@ -55,31 +55,36 @@ def _flash_kernel(
     else:
         kb = i - wblk + j
 
-    q = q_ref[0]
-    k = k_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (blk, blk)
+    # steps whose whole k-block is out of range (window steps hanging off the
+    # sequence ends) contribute nothing: skip their MXU work entirely (the
+    # clamped prefetch still happens — DMA is hidden behind live steps)
+    @pl.when((kb >= 0) & (kb < nb))
+    def _():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (blk, blk)
 
-    qpos = i * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
-    kpos = kb * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
-    mask = (kpos < n) & (qpos < n) & (kb >= 0) & (kb < nb)
-    if window is not None:
-        mask &= jnp.abs(qpos - kpos) <= window
-    if causal:
-        mask &= qpos >= kpos
-    s = jnp.where(mask, s, _NEG_INF)
+        qpos = i * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
+        kpos = kb * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
+        mask = (kpos < n) & (qpos < n)
+        if window is not None:
+            mask &= jnp.abs(qpos - kpos) <= window
+        if causal:
+            mask &= qpos >= kpos
+        s = jnp.where(mask, s, _NEG_INF)
 
-    m_prev = m_scr[:, :1]  # (blk, 1)
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    corr = jnp.exp(m_prev - m_new)  # (blk, 1)
-    p = jnp.exp(s - m_new)  # (blk, blk) fp32
-    l_scr[:, :1] = l_scr[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
-    acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    m_scr[:, :1] = m_new
+        m_prev = m_scr[:, :1]  # (blk, 1)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        corr = jnp.exp(m_prev - m_new)  # (blk, 1)
+        p = jnp.exp(s - m_new)  # (blk, blk) fp32
+        l_scr[:, :1] = l_scr[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_scr[:, :1] = m_new
 
     @pl.when(j == nj - 1)
     def _():

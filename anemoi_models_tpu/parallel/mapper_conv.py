@@ -41,22 +41,31 @@ def sharded_mapper_edge_attention(
     query: jnp.ndarray,  # (B, Nd, H, D) destination queries (true rows)
     src: jnp.ndarray,  # (B, Ns, A) narrow source rows
     edge_attr: jnp.ndarray,  # (B, E, A_e) raw edge attributes
-    edge_transform: Callable,  # (..., A_e) -> (..., H, D)
-    src_transform: Callable,  # (..., cap, A) -> ((..., cap, H, D) k, v)
+    edge_transform: Callable = None,  # (..., A_e) -> (..., H, D)
+    src_transform: Callable = None,  # (..., cap, A) -> ((..., cap, H, D) k, v)
     axis: str = "model",
     num_chunks: int = 1,
+    commute=None,  # ops.dense_graph.CommutedProj — zero-slot-matmul dataflow
+    src_feat_transform: Callable = None,  # commute: per-row prefix (..., A) -> (..., C)
 ) -> jnp.ndarray:
     """Per-edge bipartite attention, destination-sharded. Returns
-    (B, Nd, H, D). ``edge_transform``/``src_transform`` may close over
-    (traced) parameters — they enter the shard_map region as replicated
-    captures and their gradients psum correctly across shards.
+    (B, Nd, H, D). The transforms may close over (traced) parameters — they
+    enter the shard_map region as replicated captures and their gradients
+    psum correctly across shards.
 
     ``num_chunks`` > 1 processes destination rows in chunks (each under
     ``jax.checkpoint``): the wide (H·D) k/v/edge slot slabs — the dominant
     live tensors at production scale, ~42 GiB/chip at O1280 C=512 — become
     per-chunk transients, while the *narrow* gathered rows stay whole-shard
     so the scatter-free source adjoint needs no per-chunk tables. Chunking
-    splits complete destination rows, so softmax semantics are unchanged."""
+    splits complete destination rows, so softmax semantics are unchanged.
+
+    With ``commute`` (a :class:`~anemoi_models_tpu.ops.dense_graph.CommutedProj`)
+    the k/v/edge projections move across the gather onto the query/output
+    sides (see ``ops.dense_graph.commuted_edge_attention`` for the identity):
+    the 2×(H·D) k/v slot slabs never exist — per chunk the only wide slot
+    tensor is the single feature slab — and the per-slot matmuls (at O1280
+    ~100 TFLOP/layer) are replaced by per-node ones."""
     b, n_dst, h, d = query.shape
     s_n, nps, cap = st.src_ids.shape
     nsps = st.src_per_shard
@@ -71,8 +80,46 @@ def sharded_mapper_edge_attention(
         edge_attr, jnp.asarray(st.slot_edge_gids), jnp.asarray(st.pos_of_edge)
     ).reshape(b, s_n, nps, cap, edge_attr.shape[-1])
 
+    def _softmax(logits, m_c):
+        logits = jnp.where(m_c[..., None], logits, -jnp.inf)
+        m = jnp.max(logits, axis=-2, keepdims=True)
+        m = jnp.where(jnp.isfinite(m), m, 0.0)  # edge-less (padding) rows
+        w = jnp.exp(logits - m)
+        w = jnp.where(m_c[..., None], w, 0.0)
+        denom = jnp.maximum(w.sum(axis=-2, keepdims=True), 1e-16)
+        return w / denom
+
     def rows_attention(q_c, g_c, e_c, m_c):
         """Complete-row slot attention on a chunk of destination rows."""
+        if commute is not None:
+            dt = q_c.dtype
+            f_n = g_c if src_feat_transform is None else src_feat_transform(g_c)
+            qk = jnp.einsum(
+                "bnhd,chd->bnhc", q_c, commute.w_k, preferred_element_type=jnp.float32
+            ).astype(dt)
+            qe = jnp.einsum(
+                "bnhd,ahd->bnha", q_c, commute.w_e, preferred_element_type=jnp.float32
+            ).astype(dt)
+            logits = (
+                jnp.einsum("bnhc,bnkc->bnkh", qk, f_n, preferred_element_type=jnp.float32)
+                + jnp.einsum("bnha,bnka->bnkh", qe, e_c, preferred_element_type=jnp.float32)
+            ) * scale
+            alpha = _softmax(logits, m_c).astype(dt)
+            s = jnp.einsum(
+                "bnkh,bnkc->bnhc", alpha, f_n, preferred_element_type=jnp.float32
+            ).astype(dt)
+            se = jnp.einsum(
+                "bnkh,bnka->bnha", alpha, e_c, preferred_element_type=jnp.float32
+            ).astype(dt)
+            out = jnp.einsum(
+                "bnhc,chd->bnhd", s, commute.w_v, preferred_element_type=jnp.float32
+            ).astype(dt) + jnp.einsum(
+                "bnha,ahd->bnhd", se, commute.w_e, preferred_element_type=jnp.float32
+            ).astype(dt)
+            if commute.b_out is not None:
+                has_edge = m_c.any(axis=-1)  # (rows,)
+                out = out + has_edge[:, None, None] * commute.b_out.astype(dt)
+            return out  # (B, rows, H, D)
         k_n, v_n = src_transform(g_c)  # each (B, rows, cap, H, D)
         e_n = edge_transform(e_c)
         k_n = k_n + e_n
@@ -81,13 +128,7 @@ def sharded_mapper_edge_attention(
             jnp.einsum("bnhd,bnkhd->bnkh", q_c, k_n, preferred_element_type=jnp.float32)
             * scale
         )
-        logits = jnp.where(m_c[..., None], logits, -jnp.inf)
-        m = jnp.max(logits, axis=-2, keepdims=True)
-        m = jnp.where(jnp.isfinite(m), m, 0.0)  # edge-less (padding) rows
-        w = jnp.exp(logits - m)
-        w = jnp.where(m_c[..., None], w, 0.0)
-        denom = jnp.maximum(w.sum(axis=-2, keepdims=True), 1e-16)
-        alpha = (w / denom).astype(v_n.dtype)
+        alpha = _softmax(logits, m_c).astype(v_n.dtype)
         return (v_n * alpha[..., None]).sum(axis=-3)  # (B, rows, H, D)
 
     def local(q_blk, s_blk, e_blk, ids_blk, mask_blk, ttab_blk, tmask_blk):

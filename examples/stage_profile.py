@@ -93,7 +93,7 @@ def main():
     # (multi_step × n_vars + sin/cos coords), not C-wide embeddings, and
     # under the narrow gather the gather bytes scale with that width.
     n_in_vars = len(model.data_indices.internal_model.input)
-    in_raw = int(model.config.training.multistep_input) * n_in_vars + 4  # + sincos(lat,lon)
+    in_raw = int(model.model_config["training"]["multistep_input"]) * n_in_vars + 4  # + sincos(lat,lon)
     x_raw = jnp.zeros((B, n_grid, in_raw), dt)
     enc = GraphTransformerForwardMapper(
         in_channels_src=in_raw, in_channels_dst=C, hidden_dim=C, num_heads=4,

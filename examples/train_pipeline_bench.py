@@ -8,7 +8,9 @@ first segment's compile time.
 Run (TPU):
     python examples/train_pipeline_bench.py
 Environment: STEPS (default 16), GRID_LAT (96), CHANNELS (256), LAYERS (8),
-FLAVOR (graphtransformer), LOG_EVERY (4).
+FLAVOR (graphtransformer), LOG_EVERY (4), STEPS_PER_CALL (1 — >1 batches
+that many optimizer steps into one jitted scan call, amortizing the
+per-dispatch host/tunnel latency that dominates single-step dispatch).
 """
 
 from __future__ import annotations
@@ -49,6 +51,7 @@ def main() -> None:
         steps=steps,
         batch_size=1,
         peak_lr=3e-4,
+        steps_per_call=int(os.environ.get("STEPS_PER_CALL", 1)),
         seed=0,
         log_every=int(os.environ.get("LOG_EVERY", 4)),
         log=lambda s: print(s, flush=True),

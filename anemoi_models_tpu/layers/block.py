@@ -211,7 +211,17 @@ class _GraphTransformerBase(nn.Module):
         """(W, b) of a Dense, read out at trace time by one (in_dim+1)-row
         identity pass through the layer — the parameter tree stays exactly
         the layer's own, but the weights become available as arrays for the
-        commuted dataflow (XLA folds ``eye @ W`` away)."""
+        commuted dataflow (XLA folds ``eye @ W`` away).
+
+        Precision: W is recovered as ``(W + b) - b`` in the module compute
+        dtype, so in bf16 each recovered weight carries absolute error up to
+        ~eps_bf16 * |b| of its column's bias — a systematic perturbation on
+        top of the fp reassociation the commuted dataflow already accepts
+        (weights much smaller than their column's bias are quantized away).
+        Harmless at bf16 training/serving tolerances (the products feeding
+        the attention logits carry the same-order rounding anyway); if
+        tighter parity is ever needed, read the params directly instead of
+        probing."""
         probe = jnp.concatenate(
             [jnp.eye(in_dim, dtype=self.dtype), jnp.zeros((1, in_dim), self.dtype)], axis=0
         )
@@ -402,7 +412,26 @@ class GraphTransformerProcessorBlock(_GraphTransformerBase):
         width = self.num_heads * self.out_channels_conv
         lin_qkvs = nn.Dense(4 * width, use_bias=self.bias, dtype=self.dtype, name="lin_qkvs")
         lin_edge = self._edge_dense()
-        if self.kv_src_gather in ("auto", "commute") and isinstance(tables, GatherTables):
+        commutable = isinstance(tables, GatherTables)
+        if self.kv_src_gather == "narrow" or (
+            self.kv_src_gather == "commute" and not commutable
+        ):
+            # an explicit request that cannot be honored must say so (the
+            # mapper block warns in the same situation); "auto" stays silent
+            import warnings
+
+            reason = (
+                "the processor has no narrow dataflow — its source rows ARE the "
+                "node features; use 'commute' or 'auto'"
+                if self.kv_src_gather == "narrow"
+                else f"tables are {type(tables).__name__}, not dense GatherTables"
+            )
+            warnings.warn(
+                f"kv_src_gather={self.kv_src_gather!r} cannot be honored on the "
+                f"processor block ({reason}); using the wide dataflow",
+                stacklevel=2,
+            )
+        if self.kv_src_gather in ("auto", "commute") and commutable:
             w, b = self._probe_affine(lin_qkvs, x.shape[-1])
             # query + self projections run on the nodes as usual (columns
             # [q | r] of the fused kernel); k/v columns ride the conv commuted
@@ -541,8 +570,12 @@ class GraphTransformerMapperBlock(_GraphTransformerBase):
             if self.kv_src_gather in ("auto", "commute"):
                 # zero-slot-matmul dataflow: the (H·D) k/v slot slabs — the
                 # dominant O1280 temp term — never exist; probes run OUTSIDE
-                # the shard_map, so weights enter as replicated captures
-                w_kv, b_kv = self._probe_affine(lin_kv, self.in_channels)
+                # the shard_map, so weights enter as replicated captures.
+                # lin_kv consumes the embedded rows when emb_src is present,
+                # so the probe fan-in is the embed width, not in_channels
+                w_kv, b_kv = self._probe_affine(
+                    lin_kv, self.src_embed_dim or self.in_channels
+                )
                 proj = self._commuted_proj(w_kv, b_kv, lin_edge, edge_attr.shape[-1])
                 if emb_src is not None:
                     commute_kw = dict(
@@ -618,7 +651,11 @@ class GraphTransformerMapperBlock(_GraphTransformerBase):
                 # LN is per-row too — run it on the nodes, gather its output
                 src_feats = ln_src(x[0]).astype(self.dtype)
                 src_feat_transform = None
-            w_kv, b_kv = self._probe_affine(lin_kv, self.in_channels)
+            # probe with lin_kv's true fan-in: the embed width when the
+            # source rows are embedded first, in_channels otherwise
+            w_kv, b_kv = self._probe_affine(
+                lin_kv, self.src_embed_dim or self.in_channels
+            )
             proj = self._commuted_proj(w_kv, b_kv, lin_edge, edge_attr.shape[-1])
             num_chunks = (
                 self.num_chunks if not deterministic

@@ -21,6 +21,45 @@ import jax.numpy as jnp
 __all__ = ["dot_product_attention"]
 
 
+def _flash_block() -> int:
+    """``ANEMOI_FLASH_BLOCK`` validated once per distinct value: the Pallas
+    kernel requires a positive block size aligned to the 8-row TPU sublane
+    tile, and an unchecked value fails deep inside Mosaic with an opaque
+    error. Non-multiples of 8 are rounded up with a warning."""
+    import os
+
+    raw = os.environ.get("ANEMOI_FLASH_BLOCK", "128")
+    cached = _flash_block.cache.get(raw)
+    if cached is not None:
+        return cached
+    try:
+        block = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"ANEMOI_FLASH_BLOCK={raw!r} is not an integer; expected a positive "
+            "multiple of 8 (e.g. 128)"
+        ) from None
+    if block <= 0:
+        raise ValueError(
+            f"ANEMOI_FLASH_BLOCK={block} must be positive (a multiple of 8; default 128)"
+        )
+    if block % 8:
+        rounded = (block + 7) // 8 * 8
+        import warnings
+
+        warnings.warn(
+            f"ANEMOI_FLASH_BLOCK={block} is not a multiple of the 8-row TPU "
+            f"sublane tile; rounding up to {rounded}",
+            stacklevel=2,
+        )
+        block = rounded
+    _flash_block.cache[raw] = block
+    return block
+
+
+_flash_block.cache = {}
+
+
 def _band_mask(n_q: int, n_k: int, window: int) -> jnp.ndarray:
     """Boolean (n_q, n_k) mask, True where |i - j| <= window."""
     qi = jnp.arange(n_q)[:, None]
@@ -95,14 +134,9 @@ def dot_product_attention(
     if impl == "pallas" and dropout_rate > 0.0:
         impl = "chunked"
     if impl == "pallas":
-        import os
-
         from anemoi_models_tpu.ops.pallas.flash_attention import flash_attention
 
-        return flash_attention(
-            query, key, value, window_size, is_causal,
-            int(os.environ.get("ANEMOI_FLASH_BLOCK", "128")),
-        )
+        return flash_attention(query, key, value, window_size, is_causal, _flash_block())
     if impl == "chunked":
         from anemoi_models_tpu.ops.pallas.flash_attention import blockwise_attention
 

@@ -57,3 +57,23 @@ def test_pallas_kernel_interpret_matches_reference(window, n):
     with pltpu.force_tpu_interpret_mode():
         out = _flash_forward(q, k, v, window, False, 32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
+def test_flash_block_env_validation(monkeypatch):
+    """ANEMOI_FLASH_BLOCK is validated once with a clear error instead of an
+    opaque Mosaic tiling failure (advisor round-3 finding)."""
+    import pytest
+
+    from anemoi_models_tpu.ops.attention import _flash_block
+
+    monkeypatch.setenv("ANEMOI_FLASH_BLOCK", "128")
+    assert _flash_block() == 128
+    monkeypatch.setenv("ANEMOI_FLASH_BLOCK", "100")
+    with pytest.warns(UserWarning, match="rounding up to 104"):
+        assert _flash_block() == 104
+    monkeypatch.setenv("ANEMOI_FLASH_BLOCK", "0")
+    with pytest.raises(ValueError, match="must be positive"):
+        _flash_block()
+    monkeypatch.setenv("ANEMOI_FLASH_BLOCK", "fast")
+    with pytest.raises(ValueError, match="not an integer"):
+        _flash_block()

@@ -93,6 +93,8 @@ def train_run(
     eval_every: int = 0,
     eval_rollout: int = 4,
     mesh=None,
+    param_sharding: Optional[str] = None,
+    param_sharding_axis: str = "data",
     seed: int = 0,
     log_every: int = 10,
     log: Callable[[str], None] = print,
@@ -130,6 +132,14 @@ def train_run(
     and fitted processor state load, but the optimizer, schedule, and
     sampler start fresh — the fine-tuning entry (e.g. pretrain with
     ``loss="mse"``, then CRPS fine-tune into a new ``checkpoint_dir``).
+
+    ``param_sharding`` (requires ``mesh``) shards optimizer memory instead
+    of replicating it per chip (``parallel/fsdp.py``): ``"zero1"`` shards
+    the Adam moments over ``param_sharding_axis`` (params stay replicated),
+    ``"fsdp"`` shards params, moments, and EMA (weights are all-gathered at
+    their use sites by GSPMD). The reference replicates everything
+    (SURVEY §2.2 TP row); at AIFS widths the replicated fp32 moments are
+    pure per-chip overhead this removes.
 
     With ``handle_signals`` (default, main thread only) SIGTERM/SIGINT
     request a graceful stop: the loop finishes the in-flight update,
@@ -310,6 +320,8 @@ def train_run(
         return x0, truth_in, targets
 
     _jitted: dict = {}
+    _state_sh_cell: list = [None]  # set when param_sharding places the state
+    _ema_sh_cell: list = [None]
 
     def _step_body_for(r: int):
         core = step_core_for(r)
@@ -341,7 +353,16 @@ def train_run(
                     step_losses.append(loss)
                 return state, ema, jnp.stack(step_losses)
 
-            _jitted[(r, k)] = jax.jit(multi, donate_argnums=(0, 1))
+            out_sh = None
+            if _state_sh_cell[0] is not None:
+                # pin state/EMA outputs to the ZeRO/FSDP layout so every
+                # step round-trips the same buffers (losses stay auto)
+                out_sh = (_state_sh_cell[0], _ema_sh_cell[0], None)
+            _jitted[(r, k)] = (
+                jax.jit(multi, donate_argnums=(0, 1), out_shardings=out_sh)
+                if out_sh is not None
+                else jax.jit(multi, donate_argnums=(0, 1))
+            )
         return _jitted[(r, k)]
 
     ckpt_path = os.path.join(checkpoint_dir, "latest") if checkpoint_dir else None
@@ -439,6 +460,19 @@ def train_run(
             from jax.sharding import NamedSharding, PartitionSpec
 
             sharding = NamedSharding(mesh, PartitionSpec("data", None, None, None))
+
+        if mesh is not None and param_sharding:
+            # ZeRO-1 / FSDP placement (parallel/fsdp.py): moments (and under
+            # "fsdp" the params/EMA too) are sharded over an axis instead of
+            # replicated per chip; the jitted step is pinned to the same
+            # layout so donation reuses the buffers in place
+            from anemoi_models_tpu.parallel.fsdp import shard_train_state
+
+            state, ema, _state_sh_cell[0], _ema_sh_cell[0] = shard_train_state(
+                state, mesh, mode=param_sharding, axis=param_sharding_axis, ema=ema
+            )
+            log(f"parameter sharding: {param_sharding} over the "
+                f"'{param_sharding_axis}' axis ({int(mesh.shape[param_sharding_axis])}-way)")
 
         remaining = steps - start_step
         if max_steps_this_run is not None:

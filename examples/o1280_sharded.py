@@ -296,6 +296,17 @@ def leg_budget(args) -> None:
         with use_mesh(mesh):
             t0 = time.time()
             state_shape = jax.eval_shape(init_state, jax.random.key(0), x_s)
+            if args.param_sharding:
+                # ZeRO-1 / FSDP over the model axis (parallel/fsdp.py): the
+                # compiler prices sharded moments (and under fsdp, sharded
+                # params + use-site weight all-gathers) directly
+                from anemoi_models_tpu.parallel.fsdp import train_state_shardings
+
+                state_sharding = train_state_shardings(
+                    state_shape, mesh, mode=args.param_sharding, axis="model"
+                )
+            else:
+                state_sharding = None
             n_params = sum(
                 int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state_shape.params)
             )
@@ -309,22 +320,37 @@ def leg_budget(args) -> None:
             )
             log(f"params: {n_params:,} ({param_bytes / 2**30:.2f} GiB), adam state "
                 f"{opt_bytes / 2**30:.2f} GiB (trace {time.time() - t0:.0f}s)")
-            state_s = _shaped(state_shape, replicated)
+            if state_sharding is not None:
+                state_s = jax.tree_util.tree_map(
+                    lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+                    state_shape, state_sharding,
+                )
+                params_in = jax.tree_util.tree_map(
+                    lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+                    state_shape.params, state_sharding.params,
+                )
+                state_out_sh = state_sharding
+            else:
+                state_s = _shaped(state_shape, replicated)
+                params_in = state_s.params
+                state_out_sh = replicated
 
             row = {
                 "channels": channels, "layers": layers, "vars": args.vars,
                 "params": n_params, "param_gib": round(param_bytes / 2**30, 2),
                 "adam_gib": round(opt_bytes / 2**30, 2),
+                "param_sharding": args.param_sharding,
+                "mapper_chunks": args.mapper_chunks,
             }
             programs = {
                 "forward": lambda: (
-                    jax.jit(model.apply, in_shardings=(replicated, batch_spec)),
-                    (state_s.params, x_s),
+                    jax.jit(model.apply, in_shardings=(None, batch_spec)),
+                    (params_in, x_s),
                 ),
                 "train_step": lambda: (
                     jax.jit(
-                        train_step, in_shardings=(replicated, batch_spec, target_spec),
-                        out_shardings=(replicated, replicated), donate_argnums=(0,)),
+                        train_step, in_shardings=(None, batch_spec, target_spec),
+                        out_shardings=(state_out_sh, replicated), donate_argnums=(0,)),
                     (state_s, x_s, y_s),
                 ),
             }
@@ -357,6 +383,10 @@ def leg_budget(args) -> None:
             results.append(row)
 
     tag = "budget" if args.programs == "forward,train_step" else f"budget_{args.programs.replace(',', '_')}"
+    if args.param_sharding:
+        tag += f"_{args.param_sharding}"
+    if args.mapper_chunks != 2:
+        tag += f"_mc{args.mapper_chunks}"
     _write_report(args, tag, {"topology": args.topology, "hbm_gb": args.hbm_gb,
                               "geometry": {"grid": n_grid, "mesh": n_mesh},
                               "rows": results})
@@ -383,6 +413,9 @@ def main() -> None:
     p.add_argument("--budget", default="512:16,1024:16",
                    help="comma list of channels:layers points for the budget leg")
     p.add_argument("--topology", default="v5p:2x2x2")
+    p.add_argument("--param-sharding", choices=("zero1", "fsdp"), default=None,
+                   help="shard optimizer state (zero1) or params+state (fsdp) "
+                        "over the model axis in the budget leg")
     p.add_argument("--mapper-chunks", type=int, default=2,
                    help="dst-row chunks in the sharded mappers (bounds the "
                         "k/v/edge slot slabs, the dominant HBM term at scale)")

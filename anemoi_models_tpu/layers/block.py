@@ -274,7 +274,7 @@ class _GraphTransformerBase(nn.Module):
 
         return transform
 
-    def _conv_chunked(self, query, key, value, edges, edge_index, num_dst, num_chunks, tables=None, edge_transform=None, src_transform=None, commute=None):
+    def _conv_chunked(self, query, key, value, edges, edge_index, num_dst, num_chunks, tables=None, edge_transform=None, src_transform=None, commute=None, commute_kv=None):
         """Edge-chunked per-edge attention. Chunking splits the (CSR-sorted)
         edge set, so per-destination softmax normalization must span chunks:
         compute unnormalized exp-weighted sums + normalizers per chunk and
@@ -284,7 +284,7 @@ class _GraphTransformerBase(nn.Module):
         live memory is already bounded by the padded degree).
         """
         if isinstance(tables, HaloTables):
-            assert src_transform is None and commute is None, (
+            assert src_transform is None and commute is None and commute_kv is None, (
                 "narrow-source dataflows are a bucketed-tables feature"
             )
             from anemoi_models_tpu.ops.slot_attention import _affine_from_closure
@@ -317,7 +317,7 @@ class _GraphTransformerBase(nn.Module):
         if tables is not None or num_chunks <= 1:
             return graph_transformer_conv(
                 query, key, value, edges, edge_index, num_dst, tables, edge_transform,
-                src_transform=src_transform, commute=commute,
+                src_transform=src_transform, commute=commute, commute_kv=commute_kv,
             )
         assert src_transform is None and commute is None, (
             "narrow-source dataflows are a bucketed-tables feature"
@@ -412,9 +412,12 @@ class GraphTransformerProcessorBlock(_GraphTransformerBase):
         width = self.num_heads * self.out_channels_conv
         lin_qkvs = nn.Dense(4 * width, use_bias=self.bias, dtype=self.dtype, name="lin_qkvs")
         lin_edge = self._edge_dense()
+        from anemoi_models_tpu.ops.slot_attention import PlannedTables
+
         commutable = isinstance(tables, GatherTables)
+        plannable = isinstance(tables, PlannedTables)
         if self.kv_src_gather == "narrow" or (
-            self.kv_src_gather == "commute" and not commutable
+            self.kv_src_gather == "commute" and not (commutable or plannable)
         ):
             # an explicit request that cannot be honored must say so (the
             # mapper block warns in the same situation); "auto" stays silent
@@ -431,20 +434,31 @@ class GraphTransformerProcessorBlock(_GraphTransformerBase):
                 f"processor block ({reason}); using the wide dataflow",
                 stacklevel=2,
             )
-        if self.kv_src_gather in ("auto", "commute") and commutable:
+        if self.kv_src_gather in ("auto", "commute") and (commutable or plannable):
             w, b = self._probe_affine(lin_qkvs, x.shape[-1])
             # query + self projections run on the nodes as usual (columns
             # [q | r] of the fused kernel); k/v columns ride the conv commuted
             w_qr = jnp.concatenate([w[:, :width], w[:, 3 * width:]], axis=-1)
             b_qr = jnp.concatenate([b[:width], b[3 * width:]], axis=-1)
             query, x_r = jnp.split(x @ w_qr + b_qr, 2, axis=-1)
-            proj = self._commuted_proj(
-                w[:, width: 3 * width], b[width: 3 * width], lin_edge, edge_attr.shape[-1]
-            )
-            out = self._conv_chunked(
-                self._heads(query), x, None, edge_attr, edge_index, num_dst, 1,
-                tables, commute=proj,
-            )
+            if plannable:
+                # kernel-plan commute: the feats kernel projects k/v from the
+                # narrow slab inside VMEM; edge attrs ride raw (projected
+                # in-kernel / per outlier bucket)
+                out = self._conv_chunked(
+                    self._heads(query), x, None, edge_attr, edge_index, num_dst, 1,
+                    tables,
+                    edge_transform=self._edge_transform(lin_edge),
+                    commute_kv=(w[:, width: 3 * width], b[width: 3 * width]),
+                )
+            else:
+                proj = self._commuted_proj(
+                    w[:, width: 3 * width], b[width: 3 * width], lin_edge, edge_attr.shape[-1]
+                )
+                out = self._conv_chunked(
+                    self._heads(query), x, None, edge_attr, edge_index, num_dst, 1,
+                    tables, commute=proj,
+                )
             b_, n_ = out.shape[0], out.shape[1]
             out = constrain(out, ("data", None, "model", None)).reshape(b_, n_, self.out_channels)
             out = constrain(out, ("data", "model", None))

@@ -145,6 +145,7 @@ def graph_transformer_conv(
     edge_transform=None,
     src_transform=None,
     commute=None,
+    commute_kv=None,
 ) -> jnp.ndarray:
     """Per-edge multi-head attention restricted to graph edges.
 
@@ -169,9 +170,20 @@ def graph_transformer_conv(
             assert src_transform is None and commute is None, (
                 "narrow-source dataflows are a bucketed-tables feature"
             )
+            if commute_kv is not None:
+                # commuted dataflow: ``key`` is the narrow (B, Ns, F) node
+                # feature tensor; the kernel projects k/v inside VMEM
+                from anemoi_models_tpu.ops.slot_attention import planned_edge_attention_feats
+
+                w_kv, b_kv = commute_kv
+                return planned_edge_attention_feats(
+                    query, key, w_kv, b_kv, edge_attr, edge_transform,
+                    tables.plan, impl=tables.impl,
+                )
             return planned_edge_attention(
                 query, key, value, edge_attr, edge_transform, tables.plan, impl=tables.impl
             )
+        assert commute_kv is None, "commute_kv is a kernel-plan (PlannedTables) feature"
         buckets, reassemble, *rest = tables
         if commute is not None:
             return commuted_edge_attention(
@@ -184,7 +196,7 @@ def graph_transformer_conv(
             transpose=rest[0] if rest else None,
             src_transform=src_transform,
         )
-    assert src_transform is None and commute is None, (
+    assert src_transform is None and commute is None and commute_kv is None, (
         "narrow-source dataflows are a bucketed-tables feature"
     )
     if num_dst is None:

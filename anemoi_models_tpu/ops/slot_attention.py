@@ -42,6 +42,8 @@ __all__ = [
     "merge_partials",
     "finalize_partials",
     "planned_edge_attention",
+    "planned_edge_attention_feats",
+    "slot_attention_feats_partials",
 ]
 
 _NEG = -1e30
@@ -378,3 +380,130 @@ def planned_edge_attention(
         return slot_attention_partials_kernel(q1, k1, v1, a_s, w_a, plan, interpret)
 
     return batched(query, key, value, a_slots, w_aug, e_out, pallas_slot)
+
+
+def slot_attention_feats_partials(
+    query: jnp.ndarray,  # (N, H, D)
+    feats: jnp.ndarray,  # (Ns, F) narrow source features
+    w_kv: jnp.ndarray,  # (F, 2C) fused [k|v] projection
+    b_kv: jnp.ndarray,  # (2C,)
+    a_slots: jnp.ndarray,
+    w_aug: jnp.ndarray,
+    plan: EdgeKernelPlan,
+) -> AttentionPartials:
+    """jnp twin of the feats (commuted-dataflow) kernel: project k/v per
+    node, then run the slot partials — same values up to the projection's
+    rounding point (the kernel projects gathered slab rows; per-row linear
+    maps commute with row gathers)."""
+    h, d = query.shape[-2:]
+    c = h * d
+    kv = (
+        jnp.einsum("nf,fc->nc", feats, w_kv, preferred_element_type=jnp.float32)
+        + b_kv
+    ).astype(feats.dtype)
+    key = kv[:, :c].reshape(-1, h, d)
+    value = kv[:, c:].reshape(-1, h, d)
+    return slot_attention_partials(query, key, value, a_slots, w_aug, plan)
+
+
+def planned_edge_attention_feats(
+    query: jnp.ndarray,  # (B, N, H, D)
+    feats: jnp.ndarray,  # (B, Ns, F) narrow source features (post-LN)
+    w_kv: jnp.ndarray,  # (F, 2C) probed fused [k|v] kernel
+    b_kv: jnp.ndarray,  # (2C,) probed fused bias
+    edge_attr_raw: jnp.ndarray,  # (B, E, A) raw edge attributes
+    edge_transform,  # affine (..., A) -> (..., H, D)
+    plan: EdgeKernelPlan,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Commuted-dataflow twin of :func:`planned_edge_attention`.
+
+    The kernel DMAs ONE narrow feature slab per destination block and
+    projects k/v inside VMEM (``ops/pallas/edge_attention._feats_kernel``):
+    half the k/v kernel's slab bytes, one one-hot gather instead of two, and
+    the per-node k/v tensors never exist in HBM. Outlier edges run the
+    narrow bucketed path (k/v projected per *gathered* row — the same
+    commute), so no path materializes a wide per-node or per-edge tensor.
+    """
+    h, d = query.shape[-2:]
+    c = h * d
+    a_dim = edge_attr_raw.shape[-1]
+    w_aug = _affine_from_closure(edge_transform, a_dim, h, d)
+
+    a0 = edge_attr_raw[0]
+    if plan.slot_of_edge is not None:
+        from anemoi_models_tpu.ops.dense_graph import _masked_pos_take, take_rows
+
+        num_edges = a0.shape[0]
+
+        def adj_a(g):
+            return _masked_pos_take(g, plan.slot_of_edge, num_edges, axis=-2)
+
+        a_slots = take_rows(a0, plan.edge_ids, 0, adj_a)
+    else:
+        a_slots = jnp.take(a0, jnp.asarray(plan.edge_ids), axis=0)
+    a_slots = jnp.concatenate([a_slots, jnp.ones_like(a_slots[:, :1])], axis=-1)
+    a_slots = a_slots * jnp.asarray(plan.slot_mask)
+
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "reference"
+
+    has_outliers = len(plan.outlier_src) > 0
+    if has_outliers:
+        if plan.out_pos_of_edge is not None:
+            from anemoi_models_tpu.ops.dense_graph import _masked_pos_take
+            from anemoi_models_tpu.ops.dense_graph import take_rows as _take_rows
+
+            def adj_ao(g):
+                return _masked_pos_take(g, plan.out_pos_of_edge, a0.shape[0], axis=-2)
+
+            a_out = _take_rows(a0, plan.outlier_edge_ids, 0, adj_ao)
+        else:
+            a_out = jnp.take(a0, jnp.asarray(plan.outlier_edge_ids), axis=0)
+
+    def src_tf(g):
+        """(..., cap, F) gathered rows -> (k, v) each (..., cap, H, D)."""
+        kv = (
+            jnp.einsum("...f,fc->...c", g, w_kv, preferred_element_type=jnp.float32)
+            + b_kv
+        ).astype(g.dtype)
+        shape = (*kv.shape[:-1], h, d)
+        return kv[..., :c].reshape(shape), kv[..., c:].reshape(shape)
+
+    def one(q1, f1):
+        if impl == "pallas":
+            from anemoi_models_tpu.ops.pallas.edge_attention import (
+                slot_attention_feats_kernel,
+            )
+
+            interpret = jax.default_backend() != "tpu"
+            p = slot_attention_feats_kernel(
+                q1, f1, w_kv, b_kv, a_slots, w_aug, plan, interpret
+            )
+        else:
+            p = slot_attention_feats_partials(q1, f1, w_kv, b_kv, a_slots, w_aug, plan)
+        if has_outliers:
+            assert plan.out_tables is not None, (
+                "feats outlier path needs the bucketed out_tables"
+            )
+            from anemoi_models_tpu.ops.dense_graph import (
+                TransposeBundle,
+                bucketed_edge_attention,
+            )
+
+            num, den, mx = bucketed_edge_attention(
+                q1[None], f1[None], None, a_out[None],
+                plan.out_tables[0], plan.out_tables[1],
+                edge_transform=edge_transform,
+                transpose=TransposeBundle(plan.out_transpose),
+                return_partials=True,
+                src_transform=src_tf,
+            )
+            p = merge_partials(p, AttentionPartials(num=num[0], den=den[0], m=mx[0]))
+        return finalize_partials(p, query.dtype)
+
+    if query.shape[0] == 1:
+        return one(query[0], feats[0])[None]
+    # unroll the batch (the Pallas call does not vmap); B is small in the
+    # B=1-per-chip serving regime
+    return jnp.stack([one(query[i], feats[i]) for i in range(query.shape[0])])

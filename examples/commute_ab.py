@@ -54,10 +54,11 @@ def time_chain(fn, params, x, iters=ITERS, repeats=3):
     return max(tk - t1, 1e-9) / iters
 
 
-def bench_variant(label: str, kv: str, train: bool = True):
+def bench_variant(label: str, kv: str, train: bool = True, graph_impl=None):
     model, x, n_out = _build(
         grid_lat=96, mesh_refinements=5, num_channels=256, num_layers=8,
         dtype="bfloat16", grid="octahedral", kv_src_gather=kv,
+        graph_impl=graph_impl,
     )
     n_grid = model.graph_data["data"].num_nodes
     params = jax.jit(model.init)(jax.random.key(0), x)
@@ -93,13 +94,27 @@ def bench_variant(label: str, kv: str, train: bool = True):
         )
 
 
+VARIANT_SETS = {
+    # round-3 A/B: narrow (round-2 default) vs commuted dense
+    "r3": [
+        ("A round-2 default (narrow)", "narrow", None),
+        ("B commuted projections", "commute", None),
+    ],
+    # round-4 A/B: commuted dense vs the feats kernel (commute inside the
+    # Pallas slot path: one narrow slab DMA, k/v projected in VMEM) vs the
+    # round-2 k/v kernel
+    "r4": [
+        ("A commuted dense (default)", "commute", None),
+        ("B feats kernel (commute+plan)", "commute", "pallas"),
+        ("C round-2 k/v kernel (wide)", "wide", "pallas"),
+    ],
+}
+
+
 def main():
     train = os.environ.get("AB_TRAIN", "1") == "1"
-    for label, kv in [
-        ("A round-2 default (narrow)", "narrow"),
-        ("B commuted projections", "commute"),
-    ]:
-        bench_variant(label, kv, train=train)
+    for label, kv, gimpl in VARIANT_SETS[os.environ.get("AB_SET", "r3")]:
+        bench_variant(label, kv, train=train, graph_impl=gimpl)
 
 
 if __name__ == "__main__":

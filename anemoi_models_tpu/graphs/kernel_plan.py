@@ -28,11 +28,13 @@ __all__ = [
     "EdgeKernelPlan",
     "HaloBucketedTables",
     "HaloGNNTables",
+    "MultiPassPlan",
     "ShardedKernelPlan",
     "build_edge_kernel_plan",
     "build_halo_bucketed_tables",
     "build_halo_gnn_tables",
     "build_halo_kernel_plans",
+    "build_multi_pass_plan",
     "edge_set_kernel_plan",
     "plan_cost",
 ]
@@ -80,7 +82,7 @@ class EdgeKernelPlan:
         return float(self.slot_mask.sum()) / max(total, 1)
 
 
-def plan_cost(plan: "EdgeKernelPlan") -> float:
+def plan_cost(plan) -> float:
     """Relative on-chip cost of running a plan: slot one-hot gather work
     (∝ slot rows × slab width) plus the outlier segment path.
 
@@ -89,7 +91,13 @@ def plan_cost(plan: "EdgeKernelPlan") -> float:
     same session): solve t = a·R·W + b·E_out + c for the three widths and
     take κ = b/a. The model reproduces the measured ordering; the
     coverage-within-1% rule it replaces picked 512 there (-11%).
+
+    A :class:`MultiPassPlan` costs the sum of its passes' slot terms plus
+    the final residual's outlier term.
     """
+    if isinstance(plan, MultiPassPlan):
+        slot = sum(float(p.padded_dst * p.cap) * p.slab_width for p in plan.plans)
+        return slot + 936.0 * len(plan.plans[-1].outlier_src)
     rows = plan.padded_dst * plan.cap
     return float(rows) * plan.slab_width + 936.0 * len(plan.outlier_src)
 
@@ -103,6 +111,148 @@ def _select_plan(candidates: dict) -> "EdgeKernelPlan":
         best = max(p.coverage for p in candidates.values())
         return next(p for p in candidates.values() if p.coverage >= best - 0.01)
     return min(candidates.values(), key=plan_cost)
+
+
+@dataclass(eq=False)  # identity hash: static jit metadata, like EdgeKernelPlan
+class MultiPassPlan:
+    """Multi-window slot layout: a chain of :class:`EdgeKernelPlan` passes
+    over one edge set, each pass planned on the previous pass's outliers.
+
+    Why: the single-window kernel's coverage is bounded by the RCM bandwidth
+    of the mesh, which grows ~sqrt(nodes) — at refinement 8 a 1024-row slab
+    catches only ~42% of processor edges (PERF.md "Scale audit: O1280").
+    A K·W-wide single window would recover coverage but pays K·W-wide
+    one-hot gather FLOPs *per slot* and K× the VMEM. K separate W-wide
+    passes keep per-slot one-hot cost at W (each pass's slots gather only
+    from that pass's slab) while the union of windows tracks the multiscale
+    edge structure — the attention softmax splits exactly across passes via
+    the merge-form partials (``ops/slot_attention.merge_partials``), the
+    same mechanism that already folds in the outlier COO path.
+
+    Every plan's edge ids are in the GLOBAL edge space (``_globalize_plan``),
+    so per-pass slot attributes gather straight from the raw edge-attr
+    tensor. Only the LAST pass carries outlier execution tables; earlier
+    passes' outliers exist only as the next pass's input.
+    """
+
+    plans: tuple  # tuple[EdgeKernelPlan], len >= 2; plans[-1] owns outliers
+    num_dst: int
+    num_src: int
+
+    @property
+    def coverage(self) -> float:
+        """Fraction of edges handled in-kernel across all passes."""
+        slot = sum(float(p.slot_mask.sum()) for p in self.plans)
+        total = slot + len(self.plans[-1].outlier_src)
+        return slot / max(total, 1.0)
+
+    @property
+    def pass_coverage(self) -> list:
+        """Per-pass fraction of the total edge set (diagnostics)."""
+        total = sum(float(p.slot_mask.sum()) for p in self.plans) + len(
+            self.plans[-1].outlier_src
+        )
+        return [float(p.slot_mask.sum()) / max(total, 1.0) for p in self.plans]
+
+
+def _globalize_plan(plan: EdgeKernelPlan, gids: np.ndarray, e_total: int) -> EdgeKernelPlan:
+    """Remap a plan built on an edge *subset* into the global edge-id space.
+
+    ``gids`` maps subset edge positions -> global edge ids. Position-space
+    tables (t_src, t_out_*, out_tables/out_transpose) are untouched — they
+    index rows and slot/outlier positions, not edge ids.
+    """
+    gids = np.asarray(gids, dtype=np.int32)
+    plan.edge_ids = gids[plan.edge_ids]
+    plan.outlier_edge_ids = gids[plan.outlier_edge_ids]
+    sub_slot = plan.slot_of_edge
+    plan.slot_of_edge = np.full(e_total, -1, dtype=np.int32)
+    plan.slot_of_edge[gids] = sub_slot
+    if plan.out_pos_of_edge is not None:
+        sub_out = plan.out_pos_of_edge
+        plan.out_pos_of_edge = np.full(e_total, -1, dtype=np.int32)
+        plan.out_pos_of_edge[gids] = sub_out
+    return plan
+
+
+def build_multi_pass_plan(
+    edge_index: np.ndarray,
+    num_dst: int,
+    num_src: int,
+    *,
+    block_nodes: int = 128,
+    cap: int = 8,
+    slab_width: int = 0,
+    passes: int = 2,
+):
+    """Chain up to ``passes`` kernel plans, each over the previous outliers.
+
+    ``slab_width=0`` auto-selects per pass by the fitted cost model
+    (:func:`plan_cost`) — residual passes see progressively sparser edge
+    sets and typically pick different widths. Stops early when a pass
+    leaves no outliers. Returns a plain :class:`EdgeKernelPlan` when only
+    one pass materializes (so ``passes=1`` is byte-identical to today's
+    single-window path).
+
+    ``passes=-1`` ("auto") adds passes greedily while each one lowers the
+    modeled total cost — a pass earns its place when the slot work it adds
+    is cheaper than the κ-weighted outliers it removes — capped at 4
+    passes. Measured sweeps (examples/multipass_coverage.py): at
+    refinement 5 the residual is too sparse and auto stays at 1 pass; at
+    refinement 6+ an extra 512-wide pass costs less than the outliers it
+    absorbs.
+    """
+    edge_index = np.asarray(edge_index)
+    e_total = edge_index.shape[1]
+    auto = passes < 0
+    max_passes = 4 if auto else passes
+
+    def build(ei, width: int, adjoints: bool) -> EdgeKernelPlan:
+        return build_edge_kernel_plan(
+            ei, num_dst, num_src,
+            block_nodes=block_nodes, cap=cap, slab_width=width,
+            outlier_adjoints=adjoints,
+        )
+
+    # phase 1: chain passes without outlier adjoints (cheap)
+    chain: list[tuple] = []  # (plan, input_ei, input_gids)
+    ei, gids = edge_index, np.arange(e_total, dtype=np.int64)
+    slot_cost = 0.0
+    prev_total = None
+    for _ in range(max_passes):
+        if slab_width:
+            plan = build(ei, slab_width, False)
+        else:
+            plan = _select_plan({
+                w: build(ei, w, False) for w in (256, 384, 512, 768, 1024, 1536)
+            })
+        if auto:
+            total = (
+                slot_cost
+                + float(plan.padded_dst * plan.cap) * plan.slab_width
+                + 936.0 * len(plan.outlier_src)
+            )
+            if prev_total is not None and total >= prev_total:
+                break  # this pass does not pay for itself
+            prev_total = total
+        chain.append((plan, ei, gids))
+        if len(plan.outlier_src) == 0:
+            break
+        slot_cost += float(plan.padded_dst * plan.cap) * plan.slab_width
+        ei = np.stack([plan.outlier_src, plan.outlier_dst]).astype(np.int64)
+        gids = gids[plan.outlier_edge_ids]
+
+    # phase 2: the final pass's outliers execute (COO/bucketed path) —
+    # rebuild it with the outlier adjoint tables
+    last_plan, last_ei, last_gids = chain[-1]
+    if len(last_plan.outlier_src):
+        last_plan = build(last_ei, last_plan.slab_width, True)
+        chain[-1] = (last_plan, last_ei, last_gids)
+
+    plans = tuple(_globalize_plan(p, g, e_total) for p, _, g in chain)
+    if len(plans) == 1:
+        return plans[0]
+    return MultiPassPlan(plans=plans, num_dst=num_dst, num_src=num_src)
 
 
 def _best_window(sorted_src: np.ndarray, num_src: int, width: int) -> int:
@@ -127,12 +277,18 @@ def build_edge_kernel_plan(
     block_nodes: int = 128,
     cap: int = 8,
     slab_width: int = 512,
+    outlier_adjoints: bool = True,
 ) -> EdgeKernelPlan:
     """Lay out a CSR-sorted edge set for the fused kernel.
 
     Per destination block the ``slab_width`` window is chosen to maximize
     in-window edge count; per destination, up to ``cap`` in-window edges get
     slots and the rest spill to the outlier COO list.
+
+    ``outlier_adjoints=False`` skips building the outlier-path execution
+    tables (transpose adjoints, bucketed layouts) — used for the
+    intermediate passes of :func:`build_multi_pass_plan`, whose outliers
+    only feed the next pass's plan and never execute.
     """
     assert cap % 8 == 0, "cap must be a multiple of 8 (sublane tile regrouping)"
     assert slab_width % 8 == 0, "slab_width must be a multiple of 8"
@@ -227,22 +383,24 @@ def build_edge_kernel_plan(
     slot_of_edge = np.full(len(src), -1, dtype=np.int32)
     live = np.nonzero(slot_mask[:, 0])[0]
     slot_of_edge[edge_ids[live]] = live.astype(np.int32)
-    t_out_src = transpose_position_tables(o_src.astype(np.int64), num_src)
-    t_out_dst = transpose_position_tables(o_dst.astype(np.int64), num_dst)
-    out_pos_of_edge = np.full(len(src), -1, dtype=np.int32)
-    out_pos_of_edge[o_eid] = np.arange(len(o_eid), dtype=np.int32)
-
+    t_out_src = t_out_dst = out_pos_of_edge = None
     out_tables = out_transpose = None
-    if len(o_src):
-        from anemoi_models_tpu.graphs.partition import (
-            bucketed_neighbor_tables,
-            bucketed_transpose_bundle,
-        )
+    if outlier_adjoints:
+        t_out_src = transpose_position_tables(o_src.astype(np.int64), num_src)
+        t_out_dst = transpose_position_tables(o_dst.astype(np.int64), num_dst)
+        out_pos_of_edge = np.full(len(src), -1, dtype=np.int32)
+        out_pos_of_edge[o_eid] = np.arange(len(o_eid), dtype=np.int32)
 
-        out_ei = np.stack([o_src, o_dst]).astype(np.int64)
-        out_buckets, out_reassemble = bucketed_neighbor_tables(out_ei, num_dst)
-        out_tables = (out_buckets, out_reassemble)
-        out_transpose = bucketed_transpose_bundle(out_buckets, num_dst, num_src, len(o_src))
+        if len(o_src):
+            from anemoi_models_tpu.graphs.partition import (
+                bucketed_neighbor_tables,
+                bucketed_transpose_bundle,
+            )
+
+            out_ei = np.stack([o_src, o_dst]).astype(np.int64)
+            out_buckets, out_reassemble = bucketed_neighbor_tables(out_ei, num_dst)
+            out_tables = (out_buckets, out_reassemble)
+            out_transpose = bucketed_transpose_bundle(out_buckets, num_dst, num_src, len(o_src))
     return EdgeKernelPlan(
         num_dst=num_dst,
         num_src=num_src,
@@ -678,7 +836,8 @@ def edge_set_kernel_plan(
     block_nodes: int = 128,
     cap: int = 8,
     slab_width: int = 0,
-) -> EdgeKernelPlan:
+    passes: int = 0,
+):
     """Cached :func:`build_edge_kernel_plan` for an EdgeSet (memo lives on
     the instance, like the neighbor-table caches).
 
@@ -686,18 +845,31 @@ def edge_set_kernel_plan(
     fitted to the measured O96 slab sweep — picks 384 at refinement 5,
     matching the sweep's best). ``ANEMOI_PLAN_SELECT=coverage`` restores
     the coverage-driven rule; ``ANEMOI_PLAN_SLAB_WIDTH`` pins a width.
+
+    ``passes=0`` reads ``ANEMOI_PLAN_PASSES`` (default 1). ``passes>1``
+    builds a :class:`MultiPassPlan` (multi-window layout — restores
+    coverage on high-refinement meshes where a single RCM slab cannot
+    follow the bandwidth; attention flavors only).
     """
     import os
 
     from anemoi_models_tpu.graphs.partition import _edge_set_cache
 
+    if not passes:
+        passes = int(os.environ.get("ANEMOI_PLAN_PASSES", "1"))
     cache = _edge_set_cache(edge_set)
     # auto-selection (width 0) depends on the selection mode: keep plans
     # chosen under different ANEMOI_PLAN_SELECT values apart in the memo
     mode = os.environ.get("ANEMOI_PLAN_SELECT", "cost") if not slab_width else ""
-    key = ("kernel_plan", num_dst, num_src, block_nodes, cap, slab_width, mode)
+    key = ("kernel_plan", num_dst, num_src, block_nodes, cap, slab_width, mode, passes)
     if key not in cache:
-        if slab_width:
+        if passes > 1:
+            plan = build_multi_pass_plan(
+                edge_set.edge_index, num_dst, num_src,
+                block_nodes=block_nodes, cap=cap, slab_width=slab_width,
+                passes=passes,
+            )
+        elif slab_width:
             plan = build_edge_kernel_plan(
                 edge_set.edge_index, num_dst, num_src,
                 block_nodes=block_nodes, cap=cap, slab_width=slab_width,

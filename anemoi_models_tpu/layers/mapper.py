@@ -109,6 +109,7 @@ class _GraphTransformerBaseMapper(nn.Module):
                 self.sub_graph, num_dst, num_src,
                 block_nodes=self.plan_block_nodes or 128,
                 slab_width=self.plan_slab_width,
+                passes=0,  # ANEMOI_PLAN_PASSES (multi-window; attention path)
             )
             return PlannedTables(plan=plan, impl="auto")
         if self.graph_impl != "dense":

@@ -92,6 +92,7 @@ def _tables(
     num_src: Optional[int] = None,
     allow_halo: bool = False,
     halo_plans: bool = True,
+    plan_passes: int = 1,
 ):
     """Edge layout for the conv fast paths.
 
@@ -139,7 +140,8 @@ def _tables(
         nb = int(os.environ.get("ANEMOI_PLAN_BLOCK_NODES", "128"))
         sw = int(os.environ.get("ANEMOI_PLAN_SLAB_WIDTH", "0"))  # 0 = auto
         plan = edge_set_kernel_plan(
-            sub_graph, num_dst, num_src or num_dst, block_nodes=nb, slab_width=sw
+            sub_graph, num_dst, num_src or num_dst, block_nodes=nb, slab_width=sw,
+            passes=plan_passes,
         )
         return PlannedTables(plan=plan, impl="auto")
     if graph_impl != "dense":
@@ -304,7 +306,13 @@ class GraphTransformerProcessor(nn.Module):
             tensor_size=edge_attr_np.shape[0], trainable_size=self.trainable_size, name="trainable"
         )(jnp.asarray(edge_attr_np, dtype=self.dtype), batch_size)
         edge_index = jnp.asarray(edge_index_np)
-        tables = _tables(self.sub_graph, x.shape[-2], self.graph_impl, allow_halo=True)
+        # plan_passes=0: read ANEMOI_PLAN_PASSES (multi-window layout for
+        # high-refinement meshes; attention flavors only — the GNN slot path
+        # threads edge state per-plan and stays single-pass)
+        tables = _tables(
+            self.sub_graph, x.shape[-2], self.graph_impl, allow_halo=True,
+            plan_passes=0,
+        )
 
         Chunk = _remat(GraphTransformerProcessorChunk, self.remat_policy, self.cpu_offload)
         for c in range(self.num_chunks):

@@ -273,28 +273,17 @@ def finalize_partials(p: AttentionPartials, out_dtype) -> jnp.ndarray:
     return (p.num / jnp.maximum(p.den, 1e-16)[..., None]).astype(out_dtype)
 
 
-def planned_edge_attention(
-    query: jnp.ndarray,  # (B, N, H, D)
-    key: jnp.ndarray,  # (B, Ns, H, D)
-    value: jnp.ndarray,  # (B, Ns, H, D)
-    edge_attr_raw: jnp.ndarray,  # (B, E, A) raw edge attributes
-    edge_transform,  # affine (..., A) -> (..., H, D)
-    plan: EdgeKernelPlan,
-    impl: str = "auto",
-) -> jnp.ndarray:
-    """Full per-edge attention through the kernel plan.
+def _passes_of(plan):
+    """(pass plans, final plan) — a MultiPassPlan unrolls to its chain."""
+    from anemoi_models_tpu.graphs.kernel_plan import MultiPassPlan
 
-    Drop-in equivalent of the bucketed-table path for a planned edge set:
-    slot partials (Pallas kernel on TPU, jnp twin elsewhere) merged with the
-    COO outlier partials.
-    """
-    h, d = query.shape[-2:]
-    a_dim = edge_attr_raw.shape[-1]
-    w_aug = _affine_from_closure(edge_transform, a_dim, h, d)
+    plans = plan.plans if isinstance(plan, MultiPassPlan) else (plan,)
+    return plans, plans[-1]
 
-    # slot attributes: batch-invariant (trainable edge params repeat over
-    # batch), so build from batch element 0 and augment with the ones column
-    a0 = edge_attr_raw[0]
+
+def _slot_attrs(a0: jnp.ndarray, plan: EdgeKernelPlan) -> jnp.ndarray:
+    """(E, A) raw edge attrs -> (R, A+1) ones-augmented, mask-zeroed slot
+    attributes for one plan (scatter-free adjoint via slot_of_edge)."""
     if plan.slot_of_edge is not None:
         from anemoi_models_tpu.ops.dense_graph import _masked_pos_take, take_rows
 
@@ -307,32 +296,63 @@ def planned_edge_attention(
     else:
         a_slots = jnp.take(a0, jnp.asarray(plan.edge_ids), axis=0)
     a_slots = jnp.concatenate([a_slots, jnp.ones_like(a_slots[:, :1])], axis=-1)
-    a_slots = a_slots * jnp.asarray(plan.slot_mask)
+    return a_slots * jnp.asarray(plan.slot_mask)
 
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "reference"
 
-    o_src = jnp.asarray(plan.outlier_src)
-    o_dst = jnp.asarray(plan.outlier_dst)
+def _outlier_attrs(a0: jnp.ndarray, plan: EdgeKernelPlan) -> jnp.ndarray:
+    """Raw attrs of a plan's outlier edges (scatter-free adjoint)."""
     if plan.out_pos_of_edge is not None and len(plan.outlier_src):
-        from anemoi_models_tpu.ops.dense_graph import _masked_pos_take
+        from anemoi_models_tpu.ops.dense_graph import _masked_pos_take, take_rows
 
         def adj_ao(g):
             return _masked_pos_take(g, plan.out_pos_of_edge, a0.shape[0], axis=-2)
 
-        from anemoi_models_tpu.ops.dense_graph import take_rows as _take_rows
+        return take_rows(a0, plan.outlier_edge_ids, 0, adj_ao)
+    return jnp.take(a0, jnp.asarray(plan.outlier_edge_ids), axis=0)
 
-        a_out = _take_rows(a0, plan.outlier_edge_ids, 0, adj_ao)
-    else:
-        a_out = jnp.take(a0, jnp.asarray(plan.outlier_edge_ids), axis=0)
-    e_out = edge_transform(a_out)
 
-    def batched(q, k, v, a_slots, w_aug, e_out, slot_fn):
+def planned_edge_attention(
+    query: jnp.ndarray,  # (B, N, H, D)
+    key: jnp.ndarray,  # (B, Ns, H, D)
+    value: jnp.ndarray,  # (B, Ns, H, D)
+    edge_attr_raw: jnp.ndarray,  # (B, E, A) raw edge attributes
+    edge_transform,  # affine (..., A) -> (..., H, D)
+    plan,  # EdgeKernelPlan | MultiPassPlan
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Full per-edge attention through the kernel plan.
+
+    Drop-in equivalent of the bucketed-table path for a planned edge set:
+    slot partials (Pallas kernel on TPU, jnp twin elsewhere) merged with the
+    COO outlier partials. A :class:`MultiPassPlan` runs one slot pass per
+    window chain link and merges the partials exactly — the same softmax
+    split that already folds in the outlier path.
+    """
+    h, d = query.shape[-2:]
+    a_dim = edge_attr_raw.shape[-1]
+    w_aug = _affine_from_closure(edge_transform, a_dim, h, d)
+    plans, last = _passes_of(plan)
+
+    # slot attributes: batch-invariant (trainable edge params repeat over
+    # batch), so build from batch element 0 and augment with the ones column
+    a0 = edge_attr_raw[0]
+    a_slots_per_pass = [_slot_attrs(a0, p) for p in plans]
+
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "reference"
+
+    o_src = jnp.asarray(last.outlier_src)
+    o_dst = jnp.asarray(last.outlier_dst)
+    e_out = edge_transform(_outlier_attrs(a0, last))
+
+    def batched(q, k, v, e_out, slot_fn):
         def one(q1, k1, v1):
-            p = slot_fn(q1, k1, v1, a_slots, w_aug)
-            if len(plan.outlier_src):
+            p = slot_fn(q1, k1, v1, a_slots_per_pass[0], w_aug, plans[0])
+            for a_s, pp in zip(a_slots_per_pass[1:], plans[1:]):
+                p = merge_partials(p, slot_fn(q1, k1, v1, a_s, w_aug, pp))
+            if len(last.outlier_src):
                 e1 = e_out[0] if e_out.ndim == 4 else e_out
-                if plan.out_tables is not None:
+                if last.out_tables is not None:
                     # bucketed outlier partials: scatter-free fwd AND bwd
                     from anemoi_models_tpu.ops.dense_graph import (
                         TransposeBundle,
@@ -341,15 +361,15 @@ def planned_edge_attention(
 
                     num, den, mx = bucketed_edge_attention(
                         q1[None], k1[None], v1[None], e1[None],
-                        plan.out_tables[0], plan.out_tables[1],
-                        transpose=TransposeBundle(plan.out_transpose),
+                        last.out_tables[0], last.out_tables[1],
+                        transpose=TransposeBundle(last.out_transpose),
                         return_partials=True,
                     )
                     p2 = AttentionPartials(num=num[0], den=den[0], m=mx[0])
                 else:
                     p2 = coo_attention_partials(
-                        q1, k1, v1, e1, o_src, o_dst, plan.num_dst,
-                        t_src=plan.t_out_src, t_dst=plan.t_out_dst,
+                        q1, k1, v1, e1, o_src, o_dst, last.num_dst,
+                        t_src=last.t_out_src, t_dst=last.t_out_dst,
                     )
                 p = merge_partials(p, p2)
             return finalize_partials(p, value.dtype)
@@ -363,11 +383,11 @@ def planned_edge_attention(
             return one(q[0], k[0], v[0])[None]
         return jax.vmap(one)(q, k, v)
 
-    def ref_slot(q1, k1, v1, a_s, w_a):
-        return slot_attention_partials(q1, k1, v1, a_s, w_a, plan)
+    def ref_slot(q1, k1, v1, a_s, w_a, p):
+        return slot_attention_partials(q1, k1, v1, a_s, w_a, p)
 
     if impl != "pallas":
-        return batched(query, key, value, a_slots, w_aug, e_out, ref_slot)
+        return batched(query, key, value, e_out, ref_slot)
 
     # forward AND backward are hand-written kernels (custom_vjp inside);
     # the outlier/merge/finalize surroundings differentiate normally through
@@ -376,10 +396,10 @@ def planned_edge_attention(
 
     interpret = jax.default_backend() != "tpu"
 
-    def pallas_slot(q1, k1, v1, a_s, w_a):
-        return slot_attention_partials_kernel(q1, k1, v1, a_s, w_a, plan, interpret)
+    def pallas_slot(q1, k1, v1, a_s, w_a, p):
+        return slot_attention_partials_kernel(q1, k1, v1, a_s, w_a, p, interpret)
 
-    return batched(query, key, value, a_slots, w_aug, e_out, pallas_slot)
+    return batched(query, key, value, e_out, pallas_slot)
 
 
 def slot_attention_feats_partials(
@@ -429,37 +449,17 @@ def planned_edge_attention_feats(
     c = h * d
     a_dim = edge_attr_raw.shape[-1]
     w_aug = _affine_from_closure(edge_transform, a_dim, h, d)
+    plans, last = _passes_of(plan)
 
     a0 = edge_attr_raw[0]
-    if plan.slot_of_edge is not None:
-        from anemoi_models_tpu.ops.dense_graph import _masked_pos_take, take_rows
-
-        num_edges = a0.shape[0]
-
-        def adj_a(g):
-            return _masked_pos_take(g, plan.slot_of_edge, num_edges, axis=-2)
-
-        a_slots = take_rows(a0, plan.edge_ids, 0, adj_a)
-    else:
-        a_slots = jnp.take(a0, jnp.asarray(plan.edge_ids), axis=0)
-    a_slots = jnp.concatenate([a_slots, jnp.ones_like(a_slots[:, :1])], axis=-1)
-    a_slots = a_slots * jnp.asarray(plan.slot_mask)
+    a_slots_per_pass = [_slot_attrs(a0, p) for p in plans]
 
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "reference"
 
-    has_outliers = len(plan.outlier_src) > 0
+    has_outliers = len(last.outlier_src) > 0
     if has_outliers:
-        if plan.out_pos_of_edge is not None:
-            from anemoi_models_tpu.ops.dense_graph import _masked_pos_take
-            from anemoi_models_tpu.ops.dense_graph import take_rows as _take_rows
-
-            def adj_ao(g):
-                return _masked_pos_take(g, plan.out_pos_of_edge, a0.shape[0], axis=-2)
-
-            a_out = _take_rows(a0, plan.outlier_edge_ids, 0, adj_ao)
-        else:
-            a_out = jnp.take(a0, jnp.asarray(plan.outlier_edge_ids), axis=0)
+        a_out = _outlier_attrs(a0, last)
 
     def src_tf(g):
         """(..., cap, F) gathered rows -> (k, v) each (..., cap, H, D)."""
@@ -470,20 +470,24 @@ def planned_edge_attention_feats(
         shape = (*kv.shape[:-1], h, d)
         return kv[..., :c].reshape(shape), kv[..., c:].reshape(shape)
 
-    def one(q1, f1):
+    def slot_pass(q1, f1, a_s, pp):
         if impl == "pallas":
             from anemoi_models_tpu.ops.pallas.edge_attention import (
                 slot_attention_feats_kernel,
             )
 
             interpret = jax.default_backend() != "tpu"
-            p = slot_attention_feats_kernel(
-                q1, f1, w_kv, b_kv, a_slots, w_aug, plan, interpret
+            return slot_attention_feats_kernel(
+                q1, f1, w_kv, b_kv, a_s, w_aug, pp, interpret
             )
-        else:
-            p = slot_attention_feats_partials(q1, f1, w_kv, b_kv, a_slots, w_aug, plan)
+        return slot_attention_feats_partials(q1, f1, w_kv, b_kv, a_s, w_aug, pp)
+
+    def one(q1, f1):
+        p = slot_pass(q1, f1, a_slots_per_pass[0], plans[0])
+        for a_s, pp in zip(a_slots_per_pass[1:], plans[1:]):
+            p = merge_partials(p, slot_pass(q1, f1, a_s, pp))
         if has_outliers:
-            assert plan.out_tables is not None, (
+            assert last.out_tables is not None, (
                 "feats outlier path needs the bucketed out_tables"
             )
             from anemoi_models_tpu.ops.dense_graph import (
@@ -493,9 +497,9 @@ def planned_edge_attention_feats(
 
             num, den, mx = bucketed_edge_attention(
                 q1[None], f1[None], None, a_out[None],
-                plan.out_tables[0], plan.out_tables[1],
+                last.out_tables[0], last.out_tables[1],
                 edge_transform=edge_transform,
-                transpose=TransposeBundle(plan.out_transpose),
+                transpose=TransposeBundle(last.out_transpose),
                 return_partials=True,
                 src_transform=src_tf,
             )

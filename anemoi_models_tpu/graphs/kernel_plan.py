@@ -475,6 +475,12 @@ class ShardedKernelPlan:
     # (−1 dead) — lets the outlier partials run destination-wise (dense
     # masked reductions, no segment scatters) with take-only adjoints
     out_slot_of_pos: np.ndarray = None  # (S, Eo) int32
+    # multi-window chains (passes > 1): slab arrays gain a pass axis at
+    # position 1 — slab_start (S, K, nblk), src_slab_idx/slot_mask
+    # (S, K, R, 1), edge_ids (S, K, R) — with per-pass widths below.
+    # K == 1 keeps the legacy single-window shapes.
+    num_passes: int = 1
+    slab_widths: tuple = None  # per-pass slab widths; (slab_width,) if K == 1
 
     @property
     def coverage(self) -> float:
@@ -522,12 +528,23 @@ def build_halo_kernel_plans(
     block_nodes: int = 128,
     cap: int = 8,
     slab_width: int = 0,
+    passes: int = 1,
 ) -> ShardedKernelPlan:
     """Lay out each halo shard's local subgraph for the fused kernel.
 
     ``part`` must carry per-shard global ``edge_ids`` (``partition_1hop``
-    provides them). ``slab_width=0`` auto-selects the smallest candidate
-    within 1% of the best mean coverage, as :func:`edge_set_kernel_plan`.
+    provides them). ``slab_width=0`` auto-selects per pass (modeled cost
+    summed across shards, or mean coverage with
+    ``ANEMOI_PLAN_SELECT=coverage``).
+
+    ``passes>1`` chains multi-window passes per shard — pass k planned over
+    pass k-1's residual, exactly as :func:`build_multi_pass_plan` — and the
+    stacked arrays gain a pass axis: ``slab_start (S, K, nblk)``,
+    ``src_slab_idx/slot_mask (S, K, R, 1)``, ``edge_ids (S, K, R)``, with
+    per-pass widths in ``slab_widths``. This is what restores in-kernel
+    coverage at refinement 8, where per-shard plans inherit the global RCM
+    bandwidth (PERF.md: 61.7% single-window at 8 and 16 shards). With one
+    pass the shapes are exactly the legacy single-window layout.
     """
     s_count, nps = part.num_shards, part.nodes_per_shard
     h_pad = part.halo_select.shape[1]
@@ -556,74 +573,114 @@ def build_halo_kernel_plans(
         cont_to_ext[s] = order.astype(np.int32)
         ext_to_cont[s, order] = np.arange(ext_rows, dtype=np.int32)
 
-    def shard_plans(width: int) -> list[EdgeKernelPlan]:
-        plans = []
-        for s in range(s_count):
-            live = part.edge_mask[s]
-            e = part.local_edges[s][live]
-            src_cont = ext_to_cont[s, e[:, 0]]
-            ei = np.stack([src_cont, e[:, 1]]).astype(np.int64)
-            plans.append(
-                build_edge_kernel_plan(
-                    ei, nps, ext_rows,
-                    block_nodes=block_nodes, cap=cap, slab_width=width,
-                )
-            )
-        return plans
-
-    if slab_width:
-        plans = shard_plans(slab_width)
-    else:
-        import os
-
-        candidates = {w: shard_plans(w) for w in (256, 384, 512, 768, 1024, 1536)}
-        if os.environ.get("ANEMOI_PLAN_SELECT", "cost") == "coverage":
-            mean_cov = {w: float(np.mean([p.coverage for p in ps])) for w, ps in candidates.items()}
-            best = max(mean_cov.values())
-            width = next(w for w in candidates if mean_cov[w] >= best - 0.01)
-        else:  # summed modeled cost across shards (see plan_cost)
-            width = min(candidates, key=lambda w: sum(plan_cost(p) for p in candidates[w]))
-        plans = candidates[width]
-
-    nblk = plans[0].num_blocks
-    rows = plans[0].padded_dst * cap
-    eo = max(max(len(p.outlier_src) for p in plans), 1)
     num_edges = int(part.edge_mask.sum())
+
+    # per-shard residual state: (cont src, local dst) edges + global ids
+    res_ei, res_gids = [], []
+    for s in range(s_count):
+        live = part.edge_mask[s]
+        e = part.local_edges[s][live]
+        src_cont = ext_to_cont[s, e[:, 0]]
+        res_ei.append(np.stack([src_cont, e[:, 1]]).astype(np.int64))
+        res_gids.append(part.edge_ids[s][live])
+
+    def shard_plans(width: int) -> list[EdgeKernelPlan]:
+        # per-shard outlier adjoints are never used: the sharded outlier
+        # path builds its own stacked transpose tables below
+        return [
+            build_edge_kernel_plan(
+                res_ei[s], nps, ext_rows,
+                block_nodes=block_nodes, cap=cap, slab_width=width,
+                outlier_adjoints=False,
+            )
+            for s in range(s_count)
+        ]
+
+    pass_plans: list[list[EdgeKernelPlan]] = []
+    pass_gids: list[list[np.ndarray]] = []
+    for p in range(max(passes, 1)):
+        if slab_width:
+            plans = shard_plans(slab_width)
+        else:
+            import os
+
+            candidates = {w: shard_plans(w) for w in (256, 384, 512, 768, 1024, 1536)}
+            if os.environ.get("ANEMOI_PLAN_SELECT", "cost") == "coverage":
+                mean_cov = {w: float(np.mean([q.coverage for q in ps])) for w, ps in candidates.items()}
+                best = max(mean_cov.values())
+                width = next(w for w in candidates if mean_cov[w] >= best - 0.01)
+            else:  # summed modeled cost across shards (see plan_cost)
+                width = min(candidates, key=lambda w: sum(plan_cost(q) for q in candidates[w]))
+            plans = candidates[width]
+        pass_plans.append(plans)
+        pass_gids.append(list(res_gids))
+        if p == passes - 1 or all(len(q.outlier_src) == 0 for q in plans):
+            break
+        res_ei = [np.stack([q.outlier_src, q.outlier_dst]).astype(np.int64) for q in plans]
+        res_gids = [g[q.outlier_edge_ids] for g, q in zip(res_gids, plans)]
+
+    k_passes = len(pass_plans)
+    nblk = pass_plans[0][0].num_blocks
+    rows = pass_plans[0][0].padded_dst * cap
+    final_plans, final_gids = pass_plans[-1], pass_gids[-1]
+    eo = max(max(len(q.outlier_src) for q in final_plans), 1)
+    widths = tuple(ps[0].slab_width for ps in pass_plans)
+
+    def stack_pass(attr):  # (S, K, ...) from per-pass per-shard plans
+        return np.stack(
+            [np.stack([getattr(ps[s], attr) for ps in pass_plans]) for s in range(s_count)]
+        )
+
+    slab_start = stack_pass("slab_start")  # (S, K, nblk)
+    src_slab_idx = stack_pass("src_slab_idx")  # (S, K, R, 1)
+    slot_mask = stack_pass("slot_mask")  # (S, K, R, 1)
+    edge_ids = np.full((s_count, k_passes, rows), num_edges, dtype=np.int32)
+    slot_pos_of_edge = np.full(num_edges, -1, dtype=np.int32)
+    for k, (plans, gids_list) in enumerate(zip(pass_plans, pass_gids)):
+        for s, q in enumerate(plans):
+            live_slots = np.nonzero(q.slot_mask[:, 0] > 0)[0]
+            g = gids_list[s][q.edge_ids[live_slots]]
+            edge_ids[s, k][live_slots] = g
+            # flat (S, K, R) position — for K == 1 this is the legacy s*R + slot
+            slot_pos_of_edge[g] = (
+                s * (k_passes * rows) + k * rows + live_slots
+            ).astype(np.int32)
+    if k_passes == 1:  # legacy single-window shapes
+        slab_start = slab_start[:, 0]
+        src_slab_idx = src_slab_idx[:, 0]
+        slot_mask = slot_mask[:, 0]
+        edge_ids = edge_ids[:, 0]
+
     sp = ShardedKernelPlan(
         num_shards=s_count,
         nodes_per_shard=nps,
         block_nodes=block_nodes,
         cap=cap,
-        slab_width=plans[0].slab_width,
+        slab_width=widths[0],
         num_blocks=nblk,
         ext_rows=ext_rows,
         num_edges=num_edges,
         cont_to_ext=cont_to_ext,
         ext_to_cont=ext_to_cont,
-        slab_start=np.stack([p.slab_start for p in plans]),
-        src_slab_idx=np.stack([p.src_slab_idx for p in plans]),
-        slot_mask=np.stack([p.slot_mask for p in plans]),
-        edge_ids=np.full((s_count, rows), num_edges, dtype=np.int32),
+        slab_start=slab_start,
+        src_slab_idx=src_slab_idx,
+        slot_mask=slot_mask,
+        edge_ids=edge_ids,
         out_src=np.zeros((s_count, eo), dtype=np.int32),
         out_dst=np.zeros((s_count, eo), dtype=np.int32),
         out_eid=np.full((s_count, eo), num_edges, dtype=np.int32),
         out_mask=np.zeros((s_count, eo), dtype=np.float32),
-        slot_pos_of_edge=np.full(num_edges, -1, dtype=np.int32),
+        slot_pos_of_edge=slot_pos_of_edge,
         out_pos_of_edge=np.full(num_edges, -1, dtype=np.int32),
+        num_passes=k_passes,
+        slab_widths=widths,
     )
     ts_tab, ts_mask, td_tab, td_mask = [], [], [], []
-    for s, p in enumerate(plans):
-        # plan edge ids are positions into this shard's live edge list; map
-        # them back to global edge ids via the partition's per-shard table
-        shard_gids = part.edge_ids[s][part.edge_mask[s]]
-        live_slots = np.nonzero(p.slot_mask[:, 0] > 0)[0]
-        gids = shard_gids[p.edge_ids[live_slots]]
-        sp.edge_ids[s][live_slots] = gids
-        sp.slot_pos_of_edge[gids] = (s * rows + live_slots).astype(np.int32)
-        k = len(p.outlier_src)
-        sp.out_src[s, :k] = p.outlier_src
-        sp.out_dst[s, :k] = p.outlier_dst
-        ogids = shard_gids[p.outlier_edge_ids]
+    for s, q in enumerate(final_plans):
+        k = len(q.outlier_src)
+        sp.out_src[s, :k] = q.outlier_src
+        sp.out_dst[s, :k] = q.outlier_dst
+        ogids = final_gids[s][q.outlier_edge_ids]
         sp.out_eid[s, :k] = ogids
         sp.out_mask[s, :k] = 1.0
         sp.out_pos_of_edge[ogids] = (s * eo + np.arange(k)).astype(np.int32)

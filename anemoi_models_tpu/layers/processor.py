@@ -124,9 +124,12 @@ def _tables(
                 from anemoi_models_tpu.graphs.kernel_plan import build_halo_kernel_plans
 
                 nb = int(os.environ.get("ANEMOI_PLAN_BLOCK_NODES", "128"))
-                pkey = ("halo_kernel_plans", num_dst, shards, nb)
+                kp = plan_passes or int(os.environ.get("ANEMOI_PLAN_PASSES", "1"))
+                pkey = ("halo_kernel_plans", num_dst, shards, nb, kp)
                 if pkey not in cache:
-                    cache[pkey] = build_halo_kernel_plans(part, block_nodes=nb)
+                    cache[pkey] = build_halo_kernel_plans(
+                        part, block_nodes=nb, passes=max(kp, 1)
+                    )
                 plans = cache[pkey]
             if not halo_plans:  # GNN flavor: scatter-free gather layouts
                 _, gnn_tables = _halo_gnn_layout(sub_graph, num_dst, shards)

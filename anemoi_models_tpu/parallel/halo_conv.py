@@ -390,9 +390,17 @@ def halo_planned_edge_attention(
     hm = jnp.asarray(part.halo_mask)
     c2e = jnp.asarray(sp.cont_to_ext)
     e2c = jnp.asarray(sp.ext_to_cont)
+    # normalize to a pass axis: multi-window chains (num_passes > 1) stack
+    # per-pass slab layouts at axis 1; single-window plans gain a K=1 axis
+    k_passes = getattr(sp, "num_passes", 1) or 1
+    widths = tuple(sp.slab_widths) if getattr(sp, "slab_widths", None) else (sp.slab_width,)
     starts = jnp.asarray(sp.slab_start)
     src_idx = jnp.asarray(sp.src_slab_idx)
     slot_mask = jnp.asarray(sp.slot_mask)
+    if k_passes == 1 and starts.ndim == 2:
+        starts, src_idx, slot_mask = starts[:, None], src_idx[:, None], slot_mask[:, None]
+        if a_slots_sh.ndim == 3:
+            a_slots_sh = a_slots_sh[:, None]
     o_src = jnp.asarray(sp.out_src)
     o_inv = jnp.asarray(sp.out_slot_of_pos)
     ts_tab, ts_mask = (jnp.asarray(a) for a in sp.t_out_src)
@@ -428,11 +436,20 @@ def halo_planned_edge_attention(
         k_cont, v_cont = ext_cont(k_blk), ext_cont(v_blk)
 
         def one(q1, k1, v1, eo1):
-            p = slot_attention_arrays_kernel(
-                q1.reshape(nps, h, d), k1.reshape(-1, h, d), v1.reshape(-1, h, d),
-                a_blk[0], w, st_blk[0], si_blk[0], sm_blk[0],
-                sp.block_nodes, sp.cap, sp.slab_width, interpret,
+            q3, k3, v3 = (
+                q1.reshape(nps, h, d), k1.reshape(-1, h, d), v1.reshape(-1, h, d)
             )
+            p = slot_attention_arrays_kernel(
+                q3, k3, v3,
+                a_blk[0, 0], w, st_blk[0, 0], si_blk[0, 0], sm_blk[0, 0],
+                sp.block_nodes, sp.cap, widths[0], interpret,
+            )
+            for kk in range(1, k_passes):  # multi-window chain: exact merge
+                p = merge_partials(p, slot_attention_arrays_kernel(
+                    q3, k3, v3,
+                    a_blk[0, kk], w, st_blk[0, kk], si_blk[0, kk], sm_blk[0, kk],
+                    sp.block_nodes, sp.cap, widths[kk], interpret,
+                ))
             p2 = dense_outlier_partials(
                 q1.reshape(nps, h, d), k1.reshape(-1, h, d), v1.reshape(-1, h, d),
                 eo1, os_blk[0],
@@ -448,42 +465,24 @@ def halo_planned_edge_attention(
         ])
         return out
 
+    shard_args = (bc, hs, hm, c2e, e2c, starts, src_idx, slot_mask, o_src,
+                  o_inv, ts_tab, ts_mask, td_tab, td_mask, tc_tab, tc_mask,
+                  th_tab, th_mask, a_slots_sh, e_out_sh)
     run = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(
-            P(None, axis, None),
-            P(None, axis, None),
-            P(None, axis, None),
-            P(axis, None),
-            P(axis, None),
-            P(axis, None),
-            P(axis, None),
-            P(axis, None),
-            P(axis, None),
-            P(axis, None, None),
-            P(axis, None, None),
-            P(axis, None),
-            P(axis, None),
-            P(axis, None, None),
-            P(axis, None, None),
-            P(axis, None, None),
-            P(axis, None, None),
-            P(axis, None, None),
-            P(axis, None, None),
-            P(axis, None, None),
-            P(axis, None, None),
-            P(axis, None, None),
-            P(axis, None, None, None),
-            P(),
+            (P(None, axis, None),) * 3
+            # every layout/table array leads with the shard axis; trailing
+            # dims (incl. the multi-window pass axis) are replicated
+            + tuple(P(axis, *([None] * (a.ndim - 1))) for a in shard_args)
+            + (P(),)
         ),
         out_specs=P(None, axis, None),
         # pallas_call carries no varying-mesh-axes metadata on its outputs
         check_vma=False,
     )
-    out = run(q_pad, k_pad, v_pad, bc, hs, hm, c2e, e2c, starts, src_idx,
-              slot_mask, o_src, o_inv, ts_tab, ts_mask, td_tab, td_mask,
-              tc_tab, tc_mask, th_tab, th_mask, a_slots_sh, e_out_sh, w_aug)
+    out = run(q_pad, k_pad, v_pad, *shard_args, w_aug)
     return unpad_nodes(out, part).reshape(b, n, h, d)
 
 

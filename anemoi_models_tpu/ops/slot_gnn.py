@@ -112,6 +112,15 @@ def planned_gnn_conv(
     Returns ``(agg (B, N, C), edges_new SlotEdges)`` — the threading
     equivalent of the reference's ``(out, edges_new)``.
     """
+    from anemoi_models_tpu.graphs.kernel_plan import MultiPassPlan
+
+    if isinstance(plan, MultiPassPlan):
+        raise ValueError(
+            "planned_gnn_conv is single-pass: the GNN path threads edge "
+            "state in slot layout between layers, which a multi-window "
+            "chain would have to replicate per pass. Use passes=1 for the "
+            "GNN flavor (multi-window plans are an attention-path feature)."
+        )
     if not isinstance(edges, SlotEdges):
         edges = to_slot_edges(edges, plan)
     if impl == "auto":

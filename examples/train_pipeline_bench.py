@@ -52,6 +52,11 @@ def main() -> None:
         batch_size=1,
         peak_lr=3e-4,
         steps_per_call=int(os.environ.get("STEPS_PER_CALL", 1)),
+        # steps_per_call > 1 assembles that many batches per dispatch: keep
+        # the loader ahead of the whole group or the device waits on ingest
+        loader_depth=int(os.environ.get("LOADER_DEPTH", 4)),
+        loader_workers=int(os.environ.get("LOADER_WORKERS", 1)),
+        prefetch=int(os.environ.get("PREFETCH", 2)),
         seed=0,
         log_every=int(os.environ.get("LOG_EVERY", 4)),
         log=lambda s: print(s, flush=True),

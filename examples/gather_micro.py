@@ -37,19 +37,19 @@ ITERS = int(os.environ.get("ITERS", 16))
 
 
 def timeit(fn, *args):
-    run = jax.jit(fn)
-    out = run(*args)
-    jax.block_until_ready(out)
-    # chain-subtraction timing: fixed dispatch cost cancels
+    # chain-subtraction timing with a真 dependency chain: each iteration's
+    # *input* depends on the previous output, so XLA cannot CSE the loop
+    # into one op (a plain sum-of-identical-calls gets folded — measured)
     def chain(k):
         @jax.jit
-        def go(*a):
-            x = a[0]
-            acc = None
+        def go(x, *rest):
+            acc = jnp.float32(0)
             for i in range(k):
-                y = fn(*a)
-                acc = y if acc is None else acc + y
-            return acc.sum()
+                y = fn(x, *rest)
+                s = y.astype(jnp.float32).sum()
+                acc = acc + s
+                x = x + (s * 1e-30).astype(x.dtype)
+            return acc
         float(go(*args))
         best = float("inf")
         for _ in range(3):

@@ -22,6 +22,7 @@ __all__ = [
     "dense_tables",
     "fill_bucket_tables",
     "kernel_plan_slots",
+    "lz4_decompress",
     "sort_positions_by_row",
     "sort_positions_by_row_masked",
     "subdivide",
@@ -79,6 +80,10 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             i32p, i64p, i32p, ctypes.c_int64, ctypes.c_int32, i32p, i32p, u8p,
         ]
         lib.fill_bucket_tables.restype = None
+        lib.lz4_decompress_block.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+        ]
+        lib.lz4_decompress_block.restype = ctypes.c_int64
         return lib
     except Exception as exc:  # compiler/loader/symbol failure: numpy fallback
         LOGGER.warning("native graph kernels unavailable (%s); using numpy fallbacks", exc)
@@ -228,3 +233,67 @@ def subdivide(verts: np.ndarray, faces: np.ndarray):
     new_faces = np.empty((4 * nf, 3), dtype=np.int64)
     count = int(lib.subdivide(verts, nv, faces, nf, new_verts, new_faces))
     return new_verts[:count], new_faces
+
+
+def _lz4_decompress_py(src: bytes, dst_len: int) -> bytes:
+    """Pure-Python LZ4 block decoder — correctness fallback for
+    :func:`lz4_decompress_block` when the native library is unavailable.
+    Same format handling (token nibbles, 255-continuations, overlapping
+    match copies); raises ValueError on malformed input."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if i >= n:
+                    raise ValueError("lz4: truncated literal length")
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        if i + lit > n:
+            raise ValueError("lz4: truncated literals")
+        out += src[i : i + lit]
+        i += lit
+        if i >= n:
+            break  # last sequence carries literals only
+        if i + 2 > n:
+            raise ValueError("lz4: truncated offset")
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0 or offset > len(out):
+            raise ValueError("lz4: bad match offset")
+        mlen = (token & 15) + 4
+        if (token & 15) == 15:
+            while True:
+                if i >= n:
+                    raise ValueError("lz4: truncated match length")
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        for _ in range(mlen):  # byte-wise: overlapping matches are defined
+            out.append(out[-offset])
+    if len(out) != dst_len:
+        raise ValueError(f"lz4: decoded {len(out)} bytes, expected {dst_len}")
+    return bytes(out)
+
+
+def lz4_decompress(src: bytes, dst_len: int) -> bytes:
+    """LZ4 block decompression (native if available, Python otherwise)."""
+    lib = _lib()
+    if lib is None:
+        return _lz4_decompress_py(src, dst_len)
+    sbuf = np.frombuffer(src, dtype=np.uint8)
+    dbuf = np.empty(dst_len, dtype=np.uint8)
+    got = lib.lz4_decompress_block(
+        np.ascontiguousarray(sbuf), sbuf.shape[0], dbuf, dst_len
+    )
+    if got != dst_len:
+        raise ValueError(f"lz4: decoded {got} bytes, expected {dst_len}")
+    return dbuf.tobytes()

@@ -261,4 +261,54 @@ void fill_bucket_tables(const int32_t* src_sorted, const int64_t* starts,
   }
 }
 
+// LZ4 *block*-format decoder (doc/lz4_Block_format.md) — the codec inside
+// blosc-lz4 chunks, which is what anemoi-datasets zarr stores use by
+// default (training/zarr_store.py). Token = [literal-run | match-len-4]
+// nibbles with 255-continuation extensions; 2-byte LE match offset; match
+// copies may overlap (byte-wise copy is the defined semantics). Returns
+// the decompressed byte count, or -1 on malformed input / capacity
+// overflow — the caller treats -1 as a hard format error.
+int64_t lz4_decompress_block(const uint8_t* src, int64_t src_len,
+                             uint8_t* dst, int64_t dst_cap) {
+  const uint8_t* ip = src;
+  const uint8_t* iend = src + src_len;
+  uint8_t* op = dst;
+  uint8_t* oend = dst + dst_cap;
+  while (ip < iend) {
+    uint8_t token = *ip++;
+    int64_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t b;
+      do {
+        if (ip >= iend) return -1;
+        b = *ip++;
+        lit += b;
+      } while (b == 255);
+    }
+    if (ip + lit > iend || op + lit > oend) return -1;
+    std::memcpy(op, ip, lit);
+    ip += lit;
+    op += lit;
+    if (ip >= iend) break;  // last sequence carries literals only
+    if (ip + 2 > iend) return -1;
+    int64_t offset = (int64_t)ip[0] | ((int64_t)ip[1] << 8);
+    ip += 2;
+    if (offset == 0 || (op - dst) < offset) return -1;
+    int64_t mlen = (token & 15) + 4;
+    if ((token & 15) == 15) {
+      uint8_t b;
+      do {
+        if (ip >= iend) return -1;
+        b = *ip++;
+        mlen += b;
+      } while (b == 255);
+    }
+    if (op + mlen > oend) return -1;
+    const uint8_t* match = op - offset;
+    for (int64_t i = 0; i < mlen; ++i) op[i] = match[i];
+    op += mlen;
+  }
+  return op - dst;
+}
+
 }  // extern "C"

@@ -12,11 +12,12 @@ No ``zarr``/``numcodecs`` dependency is available in this image, and the
 zarr v2 on-disk format is simple (JSON metadata + per-chunk compressed
 blobs), so the store is read/written directly:
 
-- compressors: ``null``, ``zlib``, ``gzip``, ``bz2``, ``lzma`` (stdlib) and
-  ``zstd`` (the ``zstandard`` wheel). Blosc-compressed stores (the
-  anemoi-datasets default in some configs) are detected and rejected with a
-  pointer to re-encode — the blosc container format needs the native
-  library.
+- compressors: ``null``, ``zlib``, ``gzip``, ``bz2``, ``lzma`` (stdlib),
+  ``zstd`` (the ``zstandard`` wheel), and **``blosc``** (the
+  anemoi-datasets / zarr default) via a self-contained chunk-format parser
+  (header + block table + per-block byte-unshuffle) with inner codecs
+  lz4 (native/py decoder in ``native/``), zlib and zstd; blosclz/snappy
+  and bit-shuffle are rejected with a re-encode pointer.
 - both ``.`` and ``/`` chunk-key separators are handled; missing chunks
   read as ``fill_value``.
 """
@@ -57,12 +58,211 @@ def _decompress(blob: bytes, compressor: Optional[dict]) -> bytes:
 
         return zstandard.ZstdDecompressor().decompress(blob)
     if cid == "blosc":
-        raise NotImplementedError(
-            "this store is blosc-compressed; the blosc native library is not "
-            "available here — re-encode the store with zlib/zstd/null "
-            "compression (e.g. `anemoi-datasets copy --rechunk`)"
-        )
+        return _blosc_decompress(blob)
     raise NotImplementedError(f"unsupported zarr compressor {cid!r}")
+
+
+# blosc v1 chunk format (c-blosc blosc.h/blosc.c): 16-byte header
+# [version, versionlz, flags, typesize, nbytes(i32), blocksize(i32),
+# cbytes(i32)] then — unless the memcpy flag is set — an int32 offset table
+# (one entry per block, absolute within the chunk), each block stored as
+# [int32 csize][payload] with csize == blocksize meaning "stored raw".
+# flags: bit0 byte-shuffle, bit1 pure-memcpy, bit2 bit-shuffle,
+# bits 5-7 the *format* code: 0 blosclz, 1 lz4/lz4hc, 2 snappy, 3 zlib,
+# 4 zstd. Byte-shuffle groups byte j of every element; c-blosc applies it
+# per block over the largest typesize multiple and copies the tail raw.
+_BLOSC_MEMCPY = 0x2
+_BLOSC_SHUFFLE = 0x1
+_BLOSC_BITSHUFFLE = 0x4
+_BLOSC_FORMATS = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
+
+
+def _unshuffle(buf: bytes, typesize: int) -> bytes:
+    n = len(buf) - len(buf) % typesize
+    if typesize <= 1 or n == 0:
+        return buf
+    arr = np.frombuffer(buf, np.uint8, count=n)
+    out = arr.reshape(typesize, n // typesize).T.reshape(-1).tobytes()
+    return out + buf[n:]
+
+
+def _shuffle(buf: bytes, typesize: int) -> bytes:
+    n = len(buf) - len(buf) % typesize
+    if typesize <= 1 or n == 0:
+        return buf
+    arr = np.frombuffer(buf, np.uint8, count=n)
+    out = arr.reshape(n // typesize, typesize).T.reshape(-1).tobytes()
+    return out + buf[n:]
+
+
+def _codec_decompress(codec: str, payload: bytes, out_len: int) -> bytes:
+    if codec == "lz4":
+        from anemoi_models_tpu.native import lz4_decompress
+
+        return lz4_decompress(payload, out_len)
+    if codec == "zlib":
+        import zlib
+
+        return zlib.decompress(payload)
+    if codec == "zstd":
+        import zstandard
+
+        return zstandard.ZstdDecompressor().decompress(payload, max_output_size=out_len)
+    raise NotImplementedError(
+        f"blosc inner codec {codec!r} is unsupported here — re-encode the "
+        "store with blosc-lz4/zstd/zlib or plain zlib/zstd compression"
+    )
+
+
+def _blosc_decompress(blob: bytes) -> bytes:
+    import struct
+
+    if len(blob) < 16:
+        raise ValueError("blosc: truncated header")
+    flags, typesize = blob[2], blob[3]
+    nbytes, blocksize, cbytes = struct.unpack_from("<iii", blob, 4)
+    if cbytes != len(blob):
+        # tolerate trailing padding some writers add, but not truncation
+        if cbytes > len(blob):
+            raise ValueError("blosc: truncated chunk")
+    if flags & _BLOSC_BITSHUFFLE:
+        raise NotImplementedError(
+            "blosc bit-shuffle filter is unsupported here — re-encode with "
+            "byte-shuffle or no shuffle"
+        )
+    if flags & _BLOSC_MEMCPY:
+        return bytes(blob[16 : 16 + nbytes])
+    codec = _BLOSC_FORMATS.get((flags >> 5) & 0x7, "?")
+    shuffle = bool(flags & _BLOSC_SHUFFLE)
+    nblocks = -(-nbytes // blocksize) if blocksize else 0
+    starts = struct.unpack_from(f"<{nblocks}i", blob, 16)
+    out = bytearray()
+    for j, off in enumerate(starts):
+        bsize = min(blocksize, nbytes - j * blocksize)
+        (csize,) = struct.unpack_from("<i", blob, off)
+        payload = blob[off + 4 : off + 4 + csize]
+        if csize == bsize:  # stored raw
+            block = bytes(payload)
+        else:
+            block = _codec_decompress(codec, payload, bsize)
+            if len(block) != bsize:
+                raise ValueError(
+                    f"blosc: block {j} decoded to {len(block)} bytes, expected {bsize}"
+                )
+        out += _unshuffle(block, typesize) if shuffle else block
+    if len(out) != nbytes:
+        raise ValueError(f"blosc: decoded {len(out)} bytes, expected {nbytes}")
+    return bytes(out)
+
+
+def _lz4_ext_len(base: int, value: int) -> bytes:
+    """Token-nibble + continuation bytes for an LZ4 length field."""
+    if value < base:
+        return b""
+    ext = value - base
+    conts = []
+    while ext >= 255:
+        conts.append(255)
+        ext -= 255
+    conts.append(ext)
+    return bytes(conts)
+
+
+def _lz4_compress_naive(block: bytes) -> bytes:
+    """Greedy offset-1 (byte-RLE) LZ4 block encoder.
+
+    Catches runs of one repeated byte — the dominant redundancy in
+    byte-shuffled numeric blocks — as offset-1 matches and leaves the rest
+    literal. Format-correct per lz4_Block_format.md, including the
+    end-of-block restrictions (final sequence literal-only, last 5 bytes
+    literal, no match into the last 5). Used by the blosc *writer* (tests
+    and fixture generation); reading real stores uses the full decoder.
+    """
+    out = bytearray()
+    n = len(block)
+    i = 0
+    lit_start = 0
+    while i < n:
+        run = 0
+        if i > 0 and n - i > 12:
+            lim = n - 5
+            while i + run < lim and block[i + run] == block[i - 1]:
+                run += 1
+        if run >= 4:
+            lits = block[lit_start:i]
+            lit_len = len(lits)
+            mlen = run - 4
+            token = (min(lit_len, 15) << 4) | min(mlen, 15)
+            out.append(token)
+            out += _lz4_ext_len(15, lit_len)
+            out += lits
+            out += b"\x01\x00"  # offset = 1
+            out += _lz4_ext_len(15, mlen)
+            i += run
+            lit_start = i
+        else:
+            i += 1
+    # final sequence: literals only
+    lits = block[lit_start:]
+    out.append(min(len(lits), 15) << 4)
+    out += _lz4_ext_len(15, len(lits))
+    out += lits
+    return bytes(out)
+
+
+def _blosc_compress(
+    raw: bytes,
+    typesize: int,
+    cname: str = "zstd",
+    shuffle: bool = True,
+    blocksize: int = 1 << 18,
+    level: int = 1,
+) -> bytes:
+    """Blosc v1 chunk writer (fixture/round-trip counterpart of
+    :func:`_blosc_decompress`). Inner codecs: zlib/zstd (real compression)
+    or lz4 (emitted as valid pure-literal LZ4 blocks — format-correct,
+    compression-free; real stores are read, not written, with lz4)."""
+    import struct
+
+    fmt = {v: k for k, v in _BLOSC_FORMATS.items()}[cname]
+    typesize = max(int(typesize), 1)
+    blocksize = max(blocksize - blocksize % typesize, typesize)
+    nbytes = len(raw)
+    nblocks = -(-nbytes // blocksize) if nbytes else 0
+    flags = (fmt << 5) | (_BLOSC_SHUFFLE if shuffle and typesize > 1 else 0)
+    header = struct.pack("<BBBB", 2, 1, flags, min(typesize, 255))
+    blocks = []
+    for j in range(nblocks):
+        block = raw[j * blocksize : (j + 1) * blocksize]
+        if shuffle and typesize > 1:
+            block = _shuffle(block, typesize)
+        if cname == "zlib":
+            import zlib
+
+            comp = zlib.compress(block, level)
+        elif cname == "zstd":
+            import zstandard
+
+            comp = zstandard.ZstdCompressor(level=level).compress(block)
+        else:  # lz4: naive offset-1 RLE encoder — real matches on runs of
+            # a repeated byte (plenty in byte-shuffled numeric data),
+            # literals elsewhere; honors the end-of-block rules (last 5
+            # bytes literal, no match starting in the last 12)
+            comp = _lz4_compress_naive(block)
+        if comp is None or len(comp) >= len(block):
+            blocks.append((len(block), block))
+        else:
+            blocks.append((len(comp), comp))
+    table_off = 16 + 4 * nblocks
+    starts, body = [], b""
+    pos = table_off
+    for csize, payload in blocks:
+        starts.append(pos)
+        body += struct.pack("<i", csize) + payload
+        pos += 4 + len(payload)
+    cbytes = pos
+    header += struct.pack("<iii", nbytes, blocksize, cbytes)
+    return header + struct.pack(f"<{nblocks}i", *starts) + body
 
 
 def _compress(raw: bytes, compressor: Optional[dict]) -> bytes:
@@ -78,6 +278,20 @@ def _compress(raw: bytes, compressor: Optional[dict]) -> bytes:
         import zstandard
 
         return zstandard.ZstdCompressor(level=level).compress(raw)
+    if cid == "blosc":
+        # numcodecs-style config: {"id": "blosc", "cname": ..., "clevel": ...,
+        # "shuffle": 0|1|2, "blocksize": 0}; shuffle 2 (bit) unsupported
+        shuffle = int(compressor.get("shuffle", 1))
+        if shuffle == 2:
+            raise NotImplementedError("blosc bit-shuffle write is unsupported")
+        return _blosc_compress(
+            raw,
+            typesize=int(compressor.get("typesize", 4)),
+            cname=compressor.get("cname", "zstd"),
+            shuffle=shuffle == 1,
+            blocksize=int(compressor.get("blocksize", 0)) or (1 << 18),
+            level=int(compressor.get("clevel", level)),
+        )
     raise NotImplementedError(f"unsupported write compressor {cid!r}")
 
 
@@ -193,6 +407,9 @@ def write_zarr_array(
             json.dump({"zarr_format": 2}, f)
 
     data = np.ascontiguousarray(data)
+    if compressor and compressor.get("id") == "blosc" and "typesize" not in compressor:
+        # numcodecs derives typesize from the array at encode time
+        compressor = {**compressor, "typesize": data.dtype.itemsize}
     if chunks is None:
         chunks = (1,) + data.shape[1:] if data.ndim > 1 else (len(data) or 1,)
     chunks = tuple(int(min(c, s)) if s else 1 for c, s in zip(chunks, data.shape))

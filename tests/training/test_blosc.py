@@ -1,0 +1,107 @@
+"""Blosc chunk format + LZ4 block codec: the self-contained decoders that
+make anemoi-datasets' default-compressed zarr stores directly readable
+(``training/zarr_store.py``, ``native.lz4_decompress``)."""
+
+import numpy as np
+import pytest
+
+from anemoi_models_tpu import native
+from anemoi_models_tpu.native import _lz4_decompress_py
+from anemoi_models_tpu.training.zarr_store import (
+    _blosc_compress,
+    _blosc_decompress,
+    _lz4_compress_naive,
+    _shuffle,
+    _unshuffle,
+)
+
+DECODERS = [("py", lambda b, n: _lz4_decompress_py(b, n))]
+if native.available():
+    DECODERS.append(("native", lambda b, n: native.lz4_decompress(b, n)))
+
+
+@pytest.mark.parametrize("name,decode", DECODERS)
+def test_lz4_hand_vectors(name, decode):
+    # final sequence, literals only
+    assert decode(b"\x40abcd", 4) == b"abcd"
+    # one literal + offset-1 match of length 7 (overlapping copy semantics)
+    assert decode(b"\x13a\x01\x00\x00", 8) == b"a" * 8
+    # literal-length extension: 15 + 3 = 18 literals
+    assert decode(b"\xf0\x03" + b"x" * 18, 18) == b"x" * 18
+    # match-length extension: token mlen nibble 15 -> 15+4 + ext 2 = 21
+    out = decode(b"\x1fa\x01\x00\x02\x00", 22)
+    assert out == b"a" * 22
+    # offset-2 alternating pattern
+    assert decode(b"\x24ab\x02\x00\x00", 10) == b"ababababab"
+
+
+@pytest.mark.parametrize("name,decode", DECODERS)
+def test_lz4_malformed_rejected(name, decode):
+    with pytest.raises(ValueError):
+        decode(b"\x13a\x00\x00\x00", 8)  # offset 0
+    with pytest.raises(ValueError):
+        decode(b"\x13a\x05\x00\x00", 8)  # offset beyond output
+    with pytest.raises(ValueError):
+        decode(b"\xf0", 20)  # truncated literal-length extension
+    with pytest.raises(ValueError):
+        decode(b"\x40ab", 4)  # truncated literals
+
+
+@pytest.mark.parametrize("name,decode", DECODERS)
+def test_lz4_naive_compressor_roundtrip(name, decode):
+    rng = np.random.RandomState(0)
+    cases = [
+        b"",
+        b"short",
+        bytes(rng.randint(0, 256, 100, dtype=np.uint8)),  # incompressible
+        b"\x00" * 500,  # pure run
+        b"header" + b"\x07" * 300 + b"tail-bytes" + b"\x07" * 64,
+        np.zeros(137, np.float32).tobytes(),
+    ]
+    compressed_any = False
+    for raw in cases:
+        comp = _lz4_compress_naive(raw)
+        assert decode(comp, len(raw)) == raw
+        compressed_any |= len(comp) < max(len(raw), 1)
+    assert compressed_any  # the run cases must actually produce matches
+
+
+def test_shuffle_inverse():
+    rng = np.random.RandomState(1)
+    for typesize in (1, 2, 4, 8):
+        for n in (0, 4, 64, 257):  # incl. a non-multiple tail
+            raw = bytes(rng.randint(0, 256, n, dtype=np.uint8))
+            assert _unshuffle(_shuffle(raw, typesize), typesize) == raw
+
+
+@pytest.mark.parametrize("cname", ["zstd", "zlib", "lz4"])
+@pytest.mark.parametrize("shuffle", [False, True])
+def test_blosc_container_roundtrip(cname, shuffle):
+    rng = np.random.RandomState(2)
+    for raw in (
+        b"",
+        np.arange(500, dtype=np.float32).tobytes(),  # compressible
+        bytes(rng.randint(0, 256, 1000, dtype=np.uint8)),  # raw-block path
+        np.full(123, 2.5, np.float64).tobytes(),  # tail not block-aligned
+    ):
+        for typesize in (1, 4, 8):
+            chunk = _blosc_compress(raw, typesize, cname=cname, shuffle=shuffle,
+                                    blocksize=256)
+            assert _blosc_decompress(chunk) == raw
+
+
+def test_blosc_memcpy_mode():
+    import struct
+
+    raw = b"0123456789abcdef" * 4
+    header = struct.pack("<BBBB", 2, 1, 0x2, 1)  # memcpy flag
+    header += struct.pack("<iii", len(raw), len(raw), 16 + len(raw))
+    assert _blosc_decompress(header + raw) == raw
+
+
+def test_blosc_bitshuffle_rejected():
+    import struct
+
+    header = struct.pack("<BBBB", 2, 1, 0x4, 4) + struct.pack("<iii", 8, 8, 16)
+    with pytest.raises(NotImplementedError, match="bit-shuffle"):
+        _blosc_decompress(header)

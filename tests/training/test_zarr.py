@@ -73,7 +73,7 @@ def test_zarr_dataset_name_to_index_order(tmp_path):
     assert ds.name_to_index == {"a": 0, "b": 1}
 
 
-def test_zarr_blosc_rejected(tmp_path):
+def test_zarr_blosc_truncated_chunk_rejected(tmp_path):
     path = str(tmp_path / "b.zarr")
     os.makedirs(path + "/data")
     with open(path + "/.zgroup", "w") as f:
@@ -84,10 +84,26 @@ def test_zarr_blosc_rejected(tmp_path):
     with open(path + "/data/.zarray", "w") as f:
         json.dump(meta, f)
     with open(path + "/data/0.0", "wb") as f:
-        f.write(b"xxxx")
+        f.write(b"xxxx")  # not even a blosc header
     arr = ZarrArray(path + "/data")
-    with pytest.raises(NotImplementedError, match="blosc"):
+    with pytest.raises(ValueError, match="blosc"):
         arr[:]
+
+
+@pytest.mark.parametrize("cname", ["zstd", "zlib", "lz4"])
+@pytest.mark.parametrize("shuffle", [0, 1])
+def test_zarr_blosc_roundtrip(tmp_path, cname, shuffle):
+    """Blosc-compressed stores (the anemoi-datasets default) read back
+    bit-exactly through the self-contained chunk parser."""
+    rng = np.random.RandomState(0)
+    data = rng.randn(5, 3, 1, 4).astype(np.float32)
+    comp = {"id": "blosc", "cname": cname, "clevel": 3, "shuffle": shuffle,
+            "blocksize": 64}  # tiny blocks: multi-block + tail coverage
+    write_zarr_array(str(tmp_path / "g"), "data", data, chunks=(2, 3, 1, 4),
+                     compressor=comp)
+    arr = ZarrArray(str(tmp_path / "g" / "data"))
+    np.testing.assert_array_equal(arr[:], data)
+    np.testing.assert_array_equal(arr[1:4], data[1:4])
 
 
 def test_train_run_and_evaluate_from_zarr(tmp_path):

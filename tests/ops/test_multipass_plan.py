@@ -174,3 +174,45 @@ def test_multipass_stops_early_when_residual_empty():
     plan = build_multi_pass_plan(ei, n, n, block_nodes=32, cap=8, slab_width=64, passes=4)
     assert not isinstance(plan, MultiPassPlan)
     assert len(plan.outlier_src) == 0
+
+
+@pytest.mark.parametrize("impl", ["reference", "pallas"])
+def test_multipass_bipartite_encoder_matches_reference(impl):
+    """Multi-pass plans on a bipartite (mapper) edge set — reachable via
+    ANEMOI_PLAN_PASSES on the GT mapper's pallas path (num_src != num_dst,
+    data->hidden encoder geometry)."""
+    g = build_enc_proc_dec_graph(grid_lat=6, mesh_refinements=2)
+    es = g[("data", "to", "hidden")]
+    n_dst = g["hidden"].num_nodes
+    n_src = g["data"].num_nodes
+    mp = build_multi_pass_plan(
+        es.edge_index, n_dst, n_src, block_nodes=32, cap=16, slab_width=32, passes=3
+    )
+    assert isinstance(mp, MultiPassPlan)
+    seen = np.zeros(es.num_edges, dtype=np.int64)
+    for p in mp.plans:
+        live = np.nonzero(p.slot_mask[:, 0] > 0)[0]
+        np.add.at(seen, p.edge_ids[live], 1)
+    np.add.at(seen, mp.plans[-1].outlier_edge_ids, 1)
+    assert (seen == 1).all()
+
+    rng = np.random.RandomState(5)
+    q = jnp.asarray(rng.randn(1, n_dst, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(1, n_src, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(1, n_src, H, D), jnp.float32)
+    a_raw = jnp.broadcast_to(
+        jnp.asarray(rng.randn(es.num_edges, A), jnp.float32)[None],
+        (1, es.num_edges, A),
+    )
+    w = jnp.asarray(rng.randn(A, H * D) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.randn(H * D) * 0.1, jnp.float32)
+
+    def edge_transform(a):
+        e = a @ w + b
+        return e.reshape(*e.shape[:-1], H, D)
+
+    ref = graph_transformer_conv(
+        q, k, v, edge_transform(a_raw), jnp.asarray(es.edge_index), num_dst=n_dst
+    )
+    out = planned_edge_attention(q, k, v, a_raw, edge_transform, mp, impl=impl)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-4)

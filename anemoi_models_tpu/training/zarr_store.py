@@ -74,7 +74,15 @@ def _decompress(blob: bytes, compressor: Optional[dict]) -> bytes:
 _BLOSC_MEMCPY = 0x2
 _BLOSC_SHUFFLE = 0x1
 _BLOSC_BITSHUFFLE = 0x4
+_BLOSC_DONT_SPLIT = 0x10
 _BLOSC_FORMATS = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
+# c-blosc splits a block into `typesize` independently-compressed streams
+# (each [int32 csize][payload]) unless the DONT_SPLIT header bit is set —
+# decoder rule from blosc.c:blosc_d: split iff typesize <= 16, the block
+# holds >= 128 bytes per stream, it is not the leftover (tail) block, and
+# the bit is clear. Our writer always sets the bit (single-stream blocks).
+_BLOSC_MAX_SPLITS = 16
+_BLOSC_MIN_BUFFERSIZE = 128
 
 
 def _unshuffle(buf: bytes, typesize: int) -> bytes:
@@ -134,22 +142,36 @@ def _blosc_decompress(blob: bytes) -> bytes:
         return bytes(blob[16 : 16 + nbytes])
     codec = _BLOSC_FORMATS.get((flags >> 5) & 0x7, "?")
     shuffle = bool(flags & _BLOSC_SHUFFLE)
+    may_split = not (flags & _BLOSC_DONT_SPLIT) and 1 < typesize <= _BLOSC_MAX_SPLITS
     nblocks = -(-nbytes // blocksize) if blocksize else 0
     starts = struct.unpack_from(f"<{nblocks}i", blob, 16)
     out = bytearray()
     for j, off in enumerate(starts):
         bsize = min(blocksize, nbytes - j * blocksize)
-        (csize,) = struct.unpack_from("<i", blob, off)
-        payload = blob[off + 4 : off + 4 + csize]
-        if csize == bsize:  # stored raw
-            block = bytes(payload)
-        else:
-            block = _codec_decompress(codec, payload, bsize)
-            if len(block) != bsize:
-                raise ValueError(
-                    f"blosc: block {j} decoded to {len(block)} bytes, expected {bsize}"
-                )
-        out += _unshuffle(block, typesize) if shuffle else block
+        leftover = bsize != blocksize
+        nstreams = (
+            typesize
+            if may_split and not leftover and bsize // typesize >= _BLOSC_MIN_BUFFERSIZE
+            else 1
+        )
+        neblock = bsize // nstreams
+        block = bytearray()
+        pos = off
+        for _ in range(nstreams):
+            (csize,) = struct.unpack_from("<i", blob, pos)
+            payload = blob[pos + 4 : pos + 4 + csize]
+            if csize == neblock:  # stored raw
+                block += payload
+            else:
+                stream = _codec_decompress(codec, payload, neblock)
+                if len(stream) != neblock:
+                    raise ValueError(
+                        f"blosc: block {j} stream decoded to {len(stream)} "
+                        f"bytes, expected {neblock}"
+                    )
+                block += stream
+            pos += 4 + csize
+        out += _unshuffle(bytes(block), typesize) if shuffle else bytes(block)
     if len(out) != nbytes:
         raise ValueError(f"blosc: decoded {len(out)} bytes, expected {nbytes}")
     return bytes(out)
@@ -229,7 +251,10 @@ def _blosc_compress(
     blocksize = max(blocksize - blocksize % typesize, typesize)
     nbytes = len(raw)
     nblocks = -(-nbytes // blocksize) if nbytes else 0
-    flags = (fmt << 5) | (_BLOSC_SHUFFLE if shuffle and typesize > 1 else 0)
+    # DONT_SPLIT: this writer emits one stream per block
+    flags = (fmt << 5) | _BLOSC_DONT_SPLIT | (
+        _BLOSC_SHUFFLE if shuffle and typesize > 1 else 0
+    )
     header = struct.pack("<BBBB", 2, 1, flags, min(typesize, 255))
     blocks = []
     for j in range(nblocks):

@@ -105,3 +105,49 @@ def test_blosc_bitshuffle_rejected():
     header = struct.pack("<BBBB", 2, 1, 0x4, 4) + struct.pack("<iii", 8, 8, 16)
     with pytest.raises(NotImplementedError, match="bit-shuffle"):
         _blosc_decompress(header)
+
+
+def test_blosc_split_mode_decode():
+    """Real c-blosc chunks (lz4/blosclz defaults) split each block into
+    `typesize` independently-compressed streams unless the DONT_SPLIT
+    header bit is set. Hand-construct such a chunk — full blocks split,
+    leftover tail block single-stream — and decode it."""
+    import struct
+
+    typesize, blocksize = 4, 512
+    raw = np.arange(300, dtype=np.float32).tobytes()  # 1200 B: 512+512+176
+    nbytes = len(raw)
+    nblocks = -(-nbytes // blocksize)
+    flags = (1 << 5) | 0x1  # lz4 format, byte-shuffle, split allowed
+    header = struct.pack("<BBBB", 2, 1, flags, typesize)
+
+    blocks = []
+    for j in range(nblocks):
+        block = raw[j * blocksize : (j + 1) * blocksize]
+        bsize = len(block)
+        block = _shuffle(block, typesize)
+        nstreams = typesize if bsize == blocksize and bsize // typesize >= 128 else 1
+        neblock = bsize // nstreams
+        body = b""
+        for s in range(nstreams):
+            stream = block[s * neblock : (s + 1) * neblock]
+            comp = _lz4_compress_naive(stream)
+            if len(comp) >= neblock:  # store raw
+                body += struct.pack("<i", neblock) + stream
+            else:
+                body += struct.pack("<i", len(comp)) + comp
+        blocks.append(body)
+
+    table_off = 16 + 4 * nblocks
+    starts, payload, pos = [], b"", table_off
+    for body in blocks:
+        starts.append(pos)
+        payload += body
+        pos += len(body)
+    chunk = (
+        header
+        + struct.pack("<iii", nbytes, blocksize, pos)
+        + struct.pack(f"<{nblocks}i", *starts)
+        + payload
+    )
+    assert _blosc_decompress(chunk) == raw

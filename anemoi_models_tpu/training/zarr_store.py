@@ -103,6 +103,68 @@ def _shuffle(buf: bytes, typesize: int) -> bytes:
     return out + buf[n:]
 
 
+def _snappy_decompress(src: bytes, out_len: int) -> bytes:
+    """Raw-snappy decoder (format.txt of google/snappy): uvarint length
+    preamble, then literal / copy-with-1,2,4-byte-offset tags. Overlapping
+    copies are byte-wise, as in LZ4."""
+    n, shift, i = 0, 0, 0
+    while True:
+        if i >= len(src):
+            raise ValueError("snappy: truncated length preamble")
+        b = src[i]
+        i += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    if n != out_len:
+        raise ValueError(f"snappy: preamble says {n} bytes, expected {out_len}")
+    out = bytearray()
+    while i < len(src):
+        tag = src[i]
+        i += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nb = ln - 59
+                if i + nb > len(src):
+                    raise ValueError("snappy: truncated literal length")
+                ln = int.from_bytes(src[i : i + nb], "little")
+                i += nb
+            ln += 1
+            if i + ln > len(src):
+                raise ValueError("snappy: truncated literal")
+            out += src[i : i + ln]
+            i += ln
+            continue
+        if kind == 1:  # copy, 1-byte offset
+            if i >= len(src):
+                raise ValueError("snappy: truncated copy1")
+            ln = ((tag >> 2) & 7) + 4
+            off = ((tag >> 5) << 8) | src[i]
+            i += 1
+        elif kind == 2:  # copy, 2-byte offset
+            if i + 2 > len(src):
+                raise ValueError("snappy: truncated copy2")
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(src[i : i + 2], "little")
+            i += 2
+        else:  # copy, 4-byte offset
+            if i + 4 > len(src):
+                raise ValueError("snappy: truncated copy4")
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(src[i : i + 4], "little")
+            i += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy: bad copy offset")
+        for _ in range(ln):
+            out.append(out[-off])
+    if len(out) != out_len:
+        raise ValueError(f"snappy: decoded {len(out)} bytes, expected {out_len}")
+    return bytes(out)
+
+
 def _codec_decompress(codec: str, payload: bytes, out_len: int) -> bytes:
     if codec == "lz4":
         from anemoi_models_tpu.native import lz4_decompress
@@ -116,6 +178,8 @@ def _codec_decompress(codec: str, payload: bytes, out_len: int) -> bytes:
         import zstandard
 
         return zstandard.ZstdDecompressor().decompress(payload, max_output_size=out_len)
+    if codec == "snappy":
+        return _snappy_decompress(payload, out_len)
     raise NotImplementedError(
         f"blosc inner codec {codec!r} is unsupported here — re-encode the "
         "store with blosc-lz4/zstd/zlib or plain zlib/zstd compression"

@@ -151,3 +151,44 @@ def test_blosc_split_mode_decode():
         + payload
     )
     assert _blosc_decompress(chunk) == raw
+
+
+def test_snappy_hand_vectors():
+    from anemoi_models_tpu.training.zarr_store import _snappy_decompress
+
+    # pure literal: uvarint(4), literal tag len 4, "abcd"
+    assert _snappy_decompress(bytes([4, (3 << 2)]) + b"abcd", 4) == b"abcd"
+    # literal 'ab' + copy1 len 6 off 2 -> "abababab"
+    assert _snappy_decompress(bytes([8, (1 << 2)]) + b"ab" + bytes([0b01001, 2]), 8) == b"abababab"
+    # copy2: literal 'xy' + copy2 len 4 off 2
+    blob = bytes([6, (1 << 2)]) + b"xy" + bytes([(3 << 2) | 2, 2, 0])
+    assert _snappy_decompress(blob, 6) == b"xyxyxy"
+    # 61-byte literal needs the 1-extra-length-byte form (tag len 60)
+    lit = bytes(range(61))
+    blob = bytes([61, (60 << 2), 60]) + lit
+    assert _snappy_decompress(blob, 61) == lit
+    # malformed: zero offset
+    with pytest.raises(ValueError):
+        _snappy_decompress(bytes([8, (1 << 2)]) + b"ab" + bytes([0b01001, 0]), 8)
+    # malformed: preamble mismatch
+    with pytest.raises(ValueError):
+        _snappy_decompress(bytes([5, (3 << 2)]) + b"abcd", 4)
+
+
+def test_blosc_snappy_chunk_decode():
+    """A hand-built blosc chunk with snappy streams decodes."""
+    import struct
+
+    from anemoi_models_tpu.training.zarr_store import _blosc_decompress
+
+    raw = b"ab" * 41  # 82 bytes, one leftover block, single stream
+    n = len(raw)
+    # snappy: uvarint(82), literal 'ab', then 10 copy1 tags of len 8 off 2
+    payload = bytes([n, (1 << 2)]) + b"ab"
+    for _ in range(10):
+        payload += bytes([((8 - 4) << 2) | 1, 2])
+    flags = (2 << 5) | 0x10  # snappy format, DONT_SPLIT, no shuffle
+    header = struct.pack("<BBBB", 2, 1, flags, 1)
+    body = struct.pack("<i", len(payload)) + payload
+    chunk = header + struct.pack("<iii", n, n, 16 + 4 + len(body)) + struct.pack("<i", 20) + body
+    assert _blosc_decompress(chunk) == raw

@@ -79,13 +79,14 @@ def bench_variant(label: str, kv: str, train: bool = True, graph_impl=None):
         step = jax.jit(train_step, donate_argnums=0)
 
         state, loss = step(state, x, y)
-        jax.block_until_ready(loss)
+        float(loss)  # host fetch: block_until_ready does not imply
+        # completed execution on the tunneled runtime (PERF.md)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(ITERS):
                 state, loss = step(state, x, y)
-            jax.block_until_ready(loss)
+            float(loss)
             best = min(best, (time.perf_counter() - t0) / ITERS)
         print(
             f"{label:<28} train   {best * 1e3:7.2f} ms  "

@@ -45,7 +45,8 @@ def main() -> None:
         step = jax.jit(train_step, donate_argnums=0)
         try:
             state, loss = step(state, x, y)
-            jax.block_until_ready(loss)
+            float(loss)  # host fetch — block_until_ready does not imply
+            # completed execution on the tunneled runtime (PERF.md)
         except Exception as exc:  # e.g. "none" can exceed HBM
             print(f"remat={policy:<10} FAILED ({type(exc).__name__})", flush=True)
             continue
@@ -54,7 +55,7 @@ def main() -> None:
             t0 = time.perf_counter()
             for _ in range(ITERS):
                 state, loss = step(state, x, y)
-            jax.block_until_ready(loss)
+            float(loss)  # forces the whole dependent chain to completion
             best = min(best, (time.perf_counter() - t0) / ITERS)
         print(
             f"remat={policy:<10} train {best * 1e3:7.2f} ms  "

@@ -174,6 +174,12 @@ def train_run(
     from anemoi_models_tpu.parallel import use_mesh
 
     model_kwargs = dict(model_kwargs or {})
+    # remat_policy="auto": build with "none" first; after shapes are known
+    # the compiled memory analysis decides whether to keep it (PERF.md
+    # round 4: "none" is +15% train throughput when activations fit)
+    auto_remat = model_kwargs.get("remat_policy") == "auto" and config is None
+    if model_kwargs.get("remat_policy") == "auto":
+        model_kwargs["remat_policy"] = "none" if auto_remat else "full"
     data_nodes = nodes_from_coords(np.asarray(source.coords, np.float64))
     if architecture == "hierarchical":
         graph, hidden_names = build_hierarchical_graph(
@@ -181,32 +187,61 @@ def train_run(
             mesh_refinements=mesh_refinements,
             num_levels=num_hidden_levels,
         )
-        if config is None:
-            config = configs.hierarchical(
+
+        def make_config(mk):
+            return configs.hierarchical(
                 forcing=tuple(forcing),
                 diagnostic=tuple(diagnostic),
                 hidden_names=hidden_names,
                 flavor=flavor,
-                **model_kwargs,
+                **mk,
             )
+
     else:
         assert architecture == "enc_proc_dec", f"unknown architecture {architecture!r}"
         graph = build_enc_proc_dec_graph(
             data_nodes=data_nodes, mesh_refinements=mesh_refinements
         )
-        if config is None:
-            config = configs.enc_proc_dec(
+
+        def make_config(mk):
+            return configs.enc_proc_dec(
                 forcing=tuple(forcing), diagnostic=tuple(diagnostic), flavor=flavor,
-                **model_kwargs,
+                **mk,
             )
-    indices = IndexCollection(config, source.name_to_index)
-    iface = AnemoiModelInterface(
-        config=config,
-        graph_data=graph,
-        statistics=source.statistics,
-        data_indices=indices,
-        metadata={"dataset": getattr(source, "path", type(source).__name__)},
-    )
+
+    if config is None:
+        config = make_config(model_kwargs)
+
+    def make_iface(cfg):
+        idx = IndexCollection(cfg, source.name_to_index)
+        return idx, AnemoiModelInterface(
+            config=cfg,
+            graph_data=graph,
+            statistics=source.statistics,
+            data_indices=idx,
+            metadata={"dataset": getattr(source, "path", type(source).__name__)},
+        )
+
+    indices, iface = make_iface(config)
+    if auto_remat:
+        import optax
+
+        from anemoi_models_tpu.training.step import resolve_remat_policy
+
+        ms = int(config.training.multistep_input)
+        n_grid = graph["data"].num_nodes
+        # adam proxy: moment memory (2x params) matches the real adamw
+        chosen = resolve_remat_policy(
+            iface.model,
+            optax.adam(peak_lr),
+            (batch_size, ms, 1, n_grid, len(indices.internal_model.input)),
+            (batch_size, 1, n_grid, len(indices.internal_model.output)),
+            log=log,
+        )
+        if chosen != "none":
+            model_kwargs["remat_policy"] = chosen
+            config = make_config(model_kwargs)
+            indices, iface = make_iface(config)
 
     multi_step = int(config.training.multistep_input)
     if rollout_schedule:

@@ -18,7 +18,7 @@ import optax
 from anemoi_models_tpu.training.loss import weighted_mse
 from anemoi_models_tpu.training.rollout import make_rollout_fn
 
-__all__ = ["TrainState", "make_train_step", "make_rollout_train_step"]
+__all__ = ["TrainState", "make_train_step", "make_rollout_train_step", "resolve_remat_policy"]
 
 
 class TrainState(NamedTuple):
@@ -132,3 +132,62 @@ def make_rollout_train_step(
         return TrainState(params=params, opt_state=opt_state, step=state.step + 1), loss
 
     return init_state, train_step
+
+
+def resolve_remat_policy(
+    model: Any,
+    optimizer: optax.GradientTransformation,
+    x_shape: tuple,
+    y_shape: tuple,
+    *,
+    limit_bytes: Optional[int] = None,
+    headroom: float = 0.85,
+    log: Optional[Callable] = None,
+) -> str:
+    """Pick "none" vs "full" from the COMPILER's memory analysis.
+
+    Post-commute measurement (PERF.md round 4): skipping rematerialization
+    entirely is +15% train throughput at O96 — when the activations fit.
+    This resolves ``remat_policy="auto"``: AOT-compile one train step of
+    ``model`` (which must be built with ``remat_policy="none"``), read the
+    compiled per-device peak, and keep "none" if it stays under
+    ``headroom`` × the device's memory budget; otherwise fall back to the
+    reference-equivalent "full". Costs one extra AOT compile only when the
+    fallback triggers (the "none" executable is the one used otherwise).
+
+    ``limit_bytes=None`` reads ``memory_stats()['bytes_limit']`` from the
+    first local device; when the backend reports no budget (CPU), the safe
+    "full" is returned.
+    """
+    say = log or (lambda s: None)
+    if limit_bytes is None:
+        stats_fn = getattr(jax.local_devices()[0], "memory_stats", None)
+        stats = stats_fn() if stats_fn else None
+        limit_bytes = (stats or {}).get("bytes_limit")
+    if not limit_bytes:
+        say("remat auto: device reports no memory budget; using 'full'")
+        return "full"
+    init_state, train_step = make_train_step(model, optimizer)
+    x_s = jax.ShapeDtypeStruct(tuple(x_shape), jnp.float32)
+    y_s = jax.ShapeDtypeStruct(tuple(y_shape), jnp.float32)
+    state_shape = jax.eval_shape(init_state, jax.random.key(0), x_s)
+    try:
+        compiled = (
+            jax.jit(train_step, donate_argnums=0).lower(state_shape, x_s, y_s).compile()
+        )
+        ma = compiled.memory_analysis()
+        peak = (
+            ma.argument_size_in_bytes
+            + ma.output_size_in_bytes
+            + ma.temp_size_in_bytes
+            - ma.alias_size_in_bytes
+        )
+    except Exception as exc:  # compiler refused (e.g. hard OOM at lowering)
+        say(f"remat auto: 'none' compile failed ({type(exc).__name__}); using 'full'")
+        return "full"
+    ok = peak < headroom * limit_bytes
+    say(
+        f"remat auto: peak {peak / 2**30:.2f} GiB vs budget "
+        f"{limit_bytes / 2**30:.1f} GiB -> {'none' if ok else 'full'}"
+    )
+    return "none" if ok else "full"

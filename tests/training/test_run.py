@@ -466,3 +466,55 @@ def test_train_run_sigterm_checkpoint(tmp_path):
 
     restored = load_checkpoint(str(tmp_path / "latest"))
     assert 0 < int(restored["step"]) < 500
+
+
+def test_resolve_remat_policy_limits():
+    """The auto resolver keys off the compiled peak vs the injected budget."""
+    import optax
+
+    from anemoi_models_tpu.data_indices import IndexCollection
+    from anemoi_models_tpu.models import AnemoiModelEncProcDec
+    from anemoi_models_tpu.training.step import resolve_remat_policy
+    from tests.helpers_models import VARS, make_config, small_graph_cached
+
+    cfg = make_config("graphtransformer")
+    graph = small_graph_cached()
+    di = IndexCollection(cfg, dict(VARS))
+    model = AnemoiModelEncProcDec(model_config=cfg, data_indices=di, graph_data=graph)
+    n_grid = graph["data"].num_nodes
+    n_in = len(di.internal_model.input)
+    n_out = len(di.internal_model.output)
+    x_shape = (1, 2, 1, n_grid, n_in)
+    y_shape = (1, 1, n_grid, n_out)
+    msgs = []
+    huge = resolve_remat_policy(
+        model, optax.adam(1e-3), x_shape, y_shape,
+        limit_bytes=1 << 40, log=msgs.append,
+    )
+    tiny = resolve_remat_policy(
+        model, optax.adam(1e-3), x_shape, y_shape,
+        limit_bytes=1 << 10, log=msgs.append,
+    )
+    unknown = resolve_remat_policy(
+        model, optax.adam(1e-3), x_shape, y_shape,
+        limit_bytes=0, log=msgs.append,
+    )
+    assert huge == "none" and tiny == "full" and unknown == "full"
+    assert any("remat auto" in m for m in msgs)
+
+
+def test_train_run_auto_remat(tmp_path):
+    """remat_policy='auto' resolves before training and the run completes."""
+    from anemoi_models_tpu.graphs import latlon_grid_nodes
+    from anemoi_models_tpu.training.dataset import SyntheticSource
+
+    coords = latlon_grid_nodes(8).coords
+    source = SyntheticSource(coords, num_vars=4, num_steps=12, seed=0)
+    msgs = []
+    out = train_run(
+        source, forcing=("var_0",), mesh_refinements=1,
+        model_kwargs=dict(num_channels=16, num_layers=2, num_heads=4,
+                          num_chunks=1, remat_policy="auto"),
+        steps=2, batch_size=1, seed=0, log=msgs.append,
+    )
+    assert np.isfinite(out["losses"]).all()

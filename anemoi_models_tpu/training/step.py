@@ -160,12 +160,23 @@ def resolve_remat_policy(
     "full" is returned.
     """
     say = log or (lambda s: None)
+    dev = jax.local_devices()[0]
     if limit_bytes is None:
-        stats_fn = getattr(jax.local_devices()[0], "memory_stats", None)
+        stats_fn = getattr(dev, "memory_stats", None)
         stats = stats_fn() if stats_fn else None
         limit_bytes = (stats or {}).get("bytes_limit")
     if not limit_bytes:
-        say("remat auto: device reports no memory budget; using 'full'")
+        # some runtimes (tunneled dev chips) report no budget: fall back to
+        # the device generation's HBM capacity
+        kind = getattr(dev, "device_kind", "").lower()
+        hbm_gb = {"v5 lite": 16, "v5e": 16, "v5p": 95, "v5": 95, "v4": 32, "v6": 32}
+        for key, gb in hbm_gb.items():
+            if key in kind:
+                limit_bytes = gb * 2**30
+                say(f"remat auto: no reported budget; assuming {gb} GB for {kind!r}")
+                break
+    if not limit_bytes:
+        say("remat auto: unknown device memory budget; using 'full'")
         return "full"
     init_state, train_step = make_train_step(model, optimizer)
     x_s = jax.ShapeDtypeStruct(tuple(x_shape), jnp.float32)

@@ -47,6 +47,7 @@ def main() -> None:
             num_layers=int(os.environ.get("LAYERS", 8)),
             num_heads=16,
             num_chunks=2,
+            remat_policy=os.environ.get("REMAT", "full"),
         ),
         steps=steps,
         batch_size=1,

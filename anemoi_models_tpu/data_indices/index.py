@@ -1,9 +1,11 @@
-"""Data/Model index pairs (input + output views).
+"""Input/output view pairs at the data and model levels.
 
-Mirrors the reference's ``data_indices/index.py:15-94``: a ``DataIndex`` views
-the full dataset tensor (diagnostics excluded from input, forcings excluded
-from output); a ``ModelIndex`` views the model tensors where those variables
-have already been dropped (so ``excludes`` is empty on both sides).
+Capability parity with the reference's ``data_indices/index.py``: a
+``DataIndex`` views the raw dataset tensor (diagnostics absent from input,
+forcings absent from output); a ``ModelIndex`` views the model tensors where
+those variables were already dropped, so nothing is absent — forcing and
+diagnostic are purely side-exclusive there. Both are one call to the shared
+``_view_pair`` builder with different absence rules.
 """
 
 from __future__ import annotations
@@ -13,8 +15,30 @@ from anemoi_models_tpu.data_indices.tensor import InputTensorIndex, OutputTensor
 __all__ = ["BaseIndex", "DataIndex", "ModelIndex"]
 
 
+def _view_pair(
+    *,
+    forcing: list[str],
+    diagnostic: list[str],
+    input_table: dict[str, int],
+    output_table: dict[str, int],
+    dropped_from_views: bool,
+) -> tuple[InputTensorIndex, OutputTensorIndex]:
+    """Build the (input, output) views for one level.
+
+    ``dropped_from_views=True`` means the tables still contain the other
+    side's variables, so each view must mark them absent (the data level);
+    ``False`` means the tables were already narrowed (the model level).
+    """
+    absent_in = diagnostic if dropped_from_views else []
+    absent_out = forcing if dropped_from_views else []
+    return (
+        InputTensorIndex(includes=forcing, excludes=absent_in, name_to_index=input_table),
+        OutputTensorIndex(includes=diagnostic, excludes=absent_out, name_to_index=output_table),
+    )
+
+
 class BaseIndex:
-    """Base class pairing an input and an output tensor index."""
+    """An (input, output) pair of tensor views."""
 
     input: InputTensorIndex
     output: OutputTensorIndex
@@ -35,18 +59,20 @@ class BaseIndex:
 
 
 class DataIndex(BaseIndex):
-    """Indexing into the raw dataset tensor."""
+    """Views into the raw dataset tensor (one shared name table)."""
 
     def __init__(self, diagnostic: list[str], forcing: list[str], name_to_index: dict[str, int]) -> None:
-        self._diagnostic = diagnostic
-        self._forcing = forcing
-        self._name_to_index = name_to_index
-        self.input = InputTensorIndex(includes=forcing, excludes=diagnostic, name_to_index=name_to_index)
-        self.output = OutputTensorIndex(includes=diagnostic, excludes=forcing, name_to_index=name_to_index)
+        self.input, self.output = _view_pair(
+            forcing=forcing,
+            diagnostic=diagnostic,
+            input_table=name_to_index,
+            output_table=name_to_index,
+            dropped_from_views=True,
+        )
 
 
 class ModelIndex(BaseIndex):
-    """Indexing into the model input/output tensors."""
+    """Views into the model's (already-narrowed) input/output tensors."""
 
     def __init__(
         self,
@@ -55,9 +81,10 @@ class ModelIndex(BaseIndex):
         name_to_index_model_input: dict[str, int],
         name_to_index_model_output: dict[str, int],
     ) -> None:
-        self._diagnostic = diagnostic
-        self._forcing = forcing
-        self._name_to_index_model_input = name_to_index_model_input
-        self._name_to_index_model_output = name_to_index_model_output
-        self.input = InputTensorIndex(includes=forcing, excludes=[], name_to_index=name_to_index_model_input)
-        self.output = OutputTensorIndex(includes=diagnostic, excludes=[], name_to_index=name_to_index_model_output)
+        self.input, self.output = _view_pair(
+            forcing=forcing,
+            diagnostic=diagnostic,
+            input_table=name_to_index_model_input,
+            output_table=name_to_index_model_output,
+            dropped_from_views=False,
+        )

@@ -1,39 +1,79 @@
-"""Variable-index tensors for routing variables through the model.
+"""Variable-index views for routing variables through the model.
 
-Same semantics as the reference's ``data_indices/tensor.py:14-115``: an index
-set is defined by ``includes`` (variables exclusive to this side, e.g. forcing
-for inputs) and ``excludes`` (variables absent from this side, e.g. diagnostic
-for inputs), resolved against a ``name_to_index`` mapping. Indices are plain
-``numpy`` int32 arrays — static data baked into jitted programs as constants,
-never traced.
+Capability parity with the reference's ``data_indices/tensor.py`` (an index
+view exposes ``full`` / ``prognostic`` / ``diagnostic`` / ``forcing`` int
+arrays resolved against a ``name_to_index`` table), built differently: every
+variable is classified ONCE into a role — ``prognostic`` (in both the input
+and output of the model), ``side`` (exclusive to this side of the model:
+forcing for inputs, diagnostic for outputs), or ``absent`` (not part of this
+view at all) — and each published array is a single role-filtered selection
+over the table. Indices are plain ``numpy`` int32 arrays: static data baked
+into jitted programs as constants, never traced.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["BaseTensorIndex", "InputTensorIndex", "OutputTensorIndex"]
+__all__ = ["BaseTensorIndex", "InputTensorIndex", "OutputTensorIndex", "lookup_indices"]
+
+# Roles a variable can hold within one tensor view.
+_PROGNOSTIC = 0  # present in this view AND carried through the model
+_SIDE = 1  # present in this view only (forcing on inputs, diagnostic on outputs)
+_ABSENT = 2  # not materialised in this view's tensor
+
+
+def lookup_indices(name_to_index: dict[str, int], names: list[str]) -> np.ndarray:
+    """Sorted dataset positions of ``names`` (all must exist in the table)."""
+    return np.array(sorted(name_to_index[n] for n in names), dtype=np.int32)
+
+
+def _select(name_to_index: dict[str, int], roles: dict[str, int], *wanted: int) -> np.ndarray:
+    """Sorted positions of every variable whose role is one of ``wanted``."""
+    keep = set(wanted)
+    picked = [i for name, i in name_to_index.items() if roles[name] in keep]
+    return np.array(sorted(picked), dtype=np.int32)
 
 
 class BaseTensorIndex:
-    """Index arrays (full/prognostic/diagnostic/forcing) for one tensor view."""
+    """Index arrays (full/prognostic/diagnostic/forcing) for one tensor view.
+
+    ``includes`` are this side's exclusive variables, ``excludes`` are the
+    variables the view drops; everything else is prognostic. Subclasses say
+    which of forcing/diagnostic plays which role.
+    """
 
     def __init__(self, *, includes: list[str], excludes: list[str], name_to_index: dict[str, int]) -> None:
         self.includes = includes
         self.excludes = excludes
         self.name_to_index = name_to_index
 
-        missing_ex = [v for v in self.excludes if v not in self.name_to_index]
-        assert not missing_ex, f"Index excludes name variables absent from the dataset table: {missing_ex}"
-        missing_in = [v for v in self.includes if v not in self.name_to_index]
-        assert not missing_in, f"Index includes name variables absent from the dataset table: {missing_in}"
+        unknown = [v for v in excludes if v not in name_to_index]
+        assert not unknown, f"Index excludes name variables absent from the dataset table: {unknown}"
+        unknown = [v for v in includes if v not in name_to_index]
+        assert not unknown, f"Index includes name variables absent from the dataset table: {unknown}"
 
-        self.full = self._build_idx_from_excludes()
-        self._only = self._build_idx_from_includes()
-        self._removed = self._build_idx_from_includes(self.excludes)
-        self.prognostic = self._build_idx_prognostic()
+        roles = {name: _PROGNOSTIC for name in name_to_index}
+        roles.update((name, _SIDE) for name in includes)
+        roles.update((name, _ABSENT) for name in excludes)
+        self._roles = roles
+
+        self.full = _select(name_to_index, roles, _PROGNOSTIC, _SIDE)
+        self.prognostic = _select(name_to_index, roles, _PROGNOSTIC)
+        self._side = _select(name_to_index, roles, _SIDE)
+        self._absent = _select(name_to_index, roles, _ABSENT)
+        # Subclasses alias these onto forcing/diagnostic.
         self.diagnostic: np.ndarray = NotImplemented
         self.forcing: np.ndarray = NotImplemented
+
+    # The side-exclusive/dropped arrays under the names downstream code reads.
+    @property
+    def _only(self) -> np.ndarray:
+        return self._side
+
+    @property
+    def _removed(self) -> np.ndarray:
+        return self._absent
 
     def __len__(self) -> int:
         return len(self.full)
@@ -47,16 +87,9 @@ class BaseTensorIndex:
     def __eq__(self, other: object):
         if not isinstance(other, BaseTensorIndex):
             return NotImplemented
-        return (
-            np.array_equal(self.full, other.full)
-            and np.array_equal(self._only, other._only)
-            and np.array_equal(self._removed, other._removed)
-            and np.array_equal(self.prognostic, other.prognostic)
-            and np.array_equal(self.diagnostic, other.diagnostic)
-            and np.array_equal(self.forcing, other.forcing)
-            and self.includes == other.includes
-            and self.excludes == other.excludes
-        )
+        ours, theirs = self.todict(), other.todict()
+        arrays_equal = all(np.array_equal(ours[k], theirs[k]) for k in ours)
+        return arrays_equal and self.includes == other.includes and self.excludes == other.excludes
 
     def __getitem__(self, key: str):
         return getattr(self, key)
@@ -69,35 +102,20 @@ class BaseTensorIndex:
             "forcing": self.forcing,
         }
 
-    def _build_idx_from_excludes(self, excludes: list[str] | None = None) -> np.ndarray:
-        if excludes is None:
-            excludes = self.excludes
-        return np.array(
-            sorted(i for name, i in self.name_to_index.items() if name not in excludes), dtype=np.int32
-        )
-
-    def _build_idx_from_includes(self, includes: list[str] | None = None) -> np.ndarray:
-        if includes is None:
-            includes = self.includes
-        return np.array(sorted(self.name_to_index[name] for name in includes), dtype=np.int32)
-
-    def _build_idx_prognostic(self) -> np.ndarray:
-        return self._build_idx_from_excludes(list(self.includes) + list(self.excludes))
-
 
 class InputTensorIndex(BaseTensorIndex):
-    """Input view: ``includes`` are forcing, ``excludes`` are diagnostic."""
+    """Input view: forcing is side-exclusive, diagnostics are absent."""
 
     def __init__(self, *, includes: list[str], excludes: list[str], name_to_index: dict[str, int]) -> None:
         super().__init__(includes=includes, excludes=excludes, name_to_index=name_to_index)
-        self.forcing = self._only
-        self.diagnostic = self._removed
+        self.forcing = self._side
+        self.diagnostic = self._absent
 
 
 class OutputTensorIndex(BaseTensorIndex):
-    """Output view: ``includes`` are diagnostic, ``excludes`` are forcing."""
+    """Output view: diagnostics are side-exclusive, forcing is absent."""
 
     def __init__(self, *, includes: list[str], excludes: list[str], name_to_index: dict[str, int]) -> None:
         super().__init__(includes=includes, excludes=excludes, name_to_index=name_to_index)
-        self.forcing = self._removed
-        self.diagnostic = self._only
+        self.diagnostic = self._side
+        self.forcing = self._absent

@@ -9,7 +9,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from anemoi_models_tpu.data_indices.tensor import InputTensorIndex
+from anemoi_models_tpu.data_indices.tensor import lookup_indices
 
 __all__ = ["BaseBounding", "ReluBounding", "LeakyReluBounding", "HardtanhBounding", "FractionBounding"]
 
@@ -23,7 +23,7 @@ class BaseBounding:
         self.data_index = self._create_index(variables=self.variables)
 
     def _create_index(self, variables: list[str]) -> np.ndarray:
-        return InputTensorIndex(includes=variables, excludes=[], name_to_index=self.name_to_index)._only
+        return lookup_indices(self.name_to_index, variables)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         raise NotImplementedError

@@ -37,7 +37,7 @@ ITERS = int(os.environ.get("ITERS", 16))
 
 
 def timeit(fn, *args):
-    # chain-subtraction timing with a真 dependency chain: each iteration's
+    # chain-subtraction timing with a true dependency chain: each iteration's
     # *input* depends on the previous output, so XLA cannot CSE the loop
     # into one op (a plain sum-of-identical-calls gets folded — measured)
     def chain(k):

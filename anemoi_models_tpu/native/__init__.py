@@ -22,6 +22,7 @@ __all__ = [
     "dense_tables",
     "fill_bucket_tables",
     "kernel_plan_slots",
+    "blosclz_decompress",
     "lz4_decompress",
     "sort_positions_by_row",
     "sort_positions_by_row_masked",
@@ -84,6 +85,10 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             u8p, ctypes.c_int64, u8p, ctypes.c_int64,
         ]
         lib.lz4_decompress_block.restype = ctypes.c_int64
+        lib.blosclz_decompress_block.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+        ]
+        lib.blosclz_decompress_block.restype = ctypes.c_int64
         return lib
     except Exception as exc:  # compiler/loader/symbol failure: numpy fallback
         LOGGER.warning("native graph kernels unavailable (%s); using numpy fallbacks", exc)
@@ -296,4 +301,82 @@ def lz4_decompress(src: bytes, dst_len: int) -> bytes:
     )
     if got != dst_len:
         raise ValueError(f"lz4: decoded {got} bytes, expected {dst_len}")
+    return dbuf.tobytes()
+
+
+def _blosclz_decompress_py(src: bytes, dst_len: int) -> bytes:
+    """Pure-Python BloscLZ block decoder — correctness twin of the native
+    ``blosclz_decompress_block`` (format notes there). Raises ValueError on
+    malformed input."""
+    out = bytearray()
+    i, n = 0, len(src)
+    if n == 0:
+        if dst_len:
+            raise ValueError("blosclz: empty stream")
+        return b""
+    ctrl = src[i] & 31
+    i += 1
+    more = True
+    while more:
+        if ctrl >= 32:
+            ln = (ctrl >> 5) - 1
+            ofs = (ctrl & 31) << 8
+            if ln == 6:
+                while True:
+                    if i >= n:
+                        raise ValueError("blosclz: truncated match length")
+                    ext = src[i]
+                    i += 1
+                    ln += ext
+                    if ext != 255:
+                        break
+            if i >= n:
+                raise ValueError("blosclz: truncated match offset")
+            code = src[i]
+            i += 1
+            dist = ofs + code
+            if code == 255 and ofs == (31 << 8):
+                if i + 2 > n:
+                    raise ValueError("blosclz: truncated far offset")
+                dist = ((src[i] << 8) | src[i + 1]) + 8191
+                i += 2
+            if i < n:
+                ctrl = src[i]
+                i += 1
+            else:
+                more = False
+            ln += 3
+            d = dist + 1
+            if d > len(out):
+                raise ValueError("blosclz: match offset beyond output")
+            for _ in range(ln):  # byte-wise: overlapping (RLE) matches
+                out.append(out[-d])
+        else:
+            ln = ctrl + 1
+            if i + ln > n:
+                raise ValueError("blosclz: truncated literals")
+            out += src[i : i + ln]
+            i += ln
+            if i < n:
+                ctrl = src[i]
+                i += 1
+            else:
+                more = False
+    if len(out) != dst_len:
+        raise ValueError(f"blosclz: decoded {len(out)} bytes, expected {dst_len}")
+    return bytes(out)
+
+
+def blosclz_decompress(src: bytes, dst_len: int) -> bytes:
+    """BloscLZ block decompression (native if available, Python otherwise)."""
+    lib = _lib()
+    if lib is None:
+        return _blosclz_decompress_py(src, dst_len)
+    sbuf = np.frombuffer(src, dtype=np.uint8)
+    dbuf = np.empty(dst_len, dtype=np.uint8)
+    got = lib.blosclz_decompress_block(
+        np.ascontiguousarray(sbuf), sbuf.shape[0], dbuf, dst_len
+    )
+    if got != dst_len:
+        raise ValueError(f"blosclz: decoded {got} bytes, expected {dst_len}")
     return dbuf.tobytes()

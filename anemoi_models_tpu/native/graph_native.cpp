@@ -311,4 +311,62 @@ int64_t lz4_decompress_block(const uint8_t* src, int64_t src_len,
   return op - dst;
 }
 
+// BloscLZ block decoder (c-blosc's default inner codec, blosclz.c). Stream
+// of control bytes: ctrl < 32 is a literal run of ctrl+1 bytes; otherwise a
+// match with length nibble ctrl>>5 (copy length (ctrl>>5)+2, 255-continued
+// extension when the nibble is 7 -> 9+sum) and distance
+// ((ctrl&31)<<8) + code + 1, where code==255 with a saturated high field
+// escapes to a 16-bit far offset biased by MAX_DISTANCE. The first byte's
+// high bits are ignored (streams open with a literal run). Match copies are
+// byte-wise (distance-1 runs = RLE of the previous byte). Returns the
+// decoded byte count or -1 on malformed input / capacity overflow.
+int64_t blosclz_decompress_block(const uint8_t* src, int64_t src_len,
+                                 uint8_t* dst, int64_t dst_cap) {
+  const int64_t MAX_DISTANCE = 8191;
+  if (src_len <= 0) return src_len == 0 ? 0 : -1;
+  const uint8_t* ip = src;
+  const uint8_t* iend = src + src_len;
+  uint8_t* op = dst;
+  uint8_t* oend = dst + dst_cap;
+  int32_t ctrl = (*ip++) & 31;
+  bool more = true;
+  while (more) {
+    if (ctrl >= 32) {
+      int64_t len = (ctrl >> 5) - 1;
+      int64_t ofs = (int64_t)(ctrl & 31) << 8;
+      if (len == 6) {
+        uint8_t ext;
+        do {
+          if (ip >= iend) return -1;
+          ext = *ip++;
+          len += ext;
+        } while (ext == 255);
+      }
+      if (ip >= iend) return -1;
+      uint8_t code = *ip++;
+      int64_t dist = ofs + code;
+      if (code == 255 && ofs == ((int64_t)31 << 8)) {
+        if (ip + 2 > iend) return -1;
+        dist = (((int64_t)ip[0] << 8) | ip[1]) + MAX_DISTANCE;
+        ip += 2;
+      }
+      if (ip < iend) ctrl = *ip++; else more = false;
+      len += 3;
+      int64_t d = dist + 1;
+      if (d > op - dst || op + len > oend) return -1;
+      const uint8_t* ref = op - d;
+      for (int64_t k = 0; k < len; ++k) op[k] = ref[k];
+      op += len;
+    } else {
+      int64_t len = ctrl + 1;
+      if (ip + len > iend || op + len > oend) return -1;
+      std::memcpy(op, ip, len);
+      ip += len;
+      op += len;
+      if (ip < iend) ctrl = *ip++; else more = false;
+    }
+  }
+  return op - dst;
+}
+
 }  // extern "C"

@@ -15,9 +15,9 @@ blobs), so the store is read/written directly:
 - compressors: ``null``, ``zlib``, ``gzip``, ``bz2``, ``lzma`` (stdlib),
   ``zstd`` (the ``zstandard`` wheel), and **``blosc``** (the
   anemoi-datasets / zarr default) via a self-contained chunk-format parser
-  (header + block table + per-block byte-unshuffle) with inner codecs
-  lz4 (native/py decoder in ``native/``), zlib and zstd; blosclz/snappy
-  and bit-shuffle are rejected with a re-encode pointer.
+  (header + block table + per-block byte- or bit-unshuffle) with all five
+  inner codecs: blosclz and lz4 (native/py decoders in ``native/``),
+  snappy (py), zlib and zstd.
 - both ``.`` and ``/`` chunk-key separators are handled; missing chunks
   read as ``fill_value``.
 """
@@ -103,6 +103,37 @@ def _shuffle(buf: bytes, typesize: int) -> bytes:
     return out + buf[n:]
 
 
+# Bit-shuffle (c-blosc's other filter, from the bitshuffle project): the
+# block is viewed as a (n_elements, typesize*8) bit matrix — bit index
+# within an element = byte*8 + bit, LSB-first — and transposed, so
+# same-significance bits land together. c-blosc applies it per block to the
+# largest multiple-of-8-elements prefix and copies the tail raw.
+
+
+def _bitshuffle(buf: bytes, typesize: int) -> bytes:
+    size = len(buf) // typesize
+    aligned = size - size % 8
+    nb = aligned * typesize
+    if nb == 0:
+        return buf
+    a = np.frombuffer(buf, np.uint8, count=nb).reshape(aligned, typesize)
+    bits = np.unpackbits(a, axis=1, bitorder="little")
+    out = np.packbits(np.ascontiguousarray(bits.T), axis=1, bitorder="little")
+    return out.tobytes() + buf[nb:]
+
+
+def _bitunshuffle(buf: bytes, typesize: int) -> bytes:
+    size = len(buf) // typesize
+    aligned = size - size % 8
+    nb = aligned * typesize
+    if nb == 0:
+        return buf
+    a = np.frombuffer(buf, np.uint8, count=nb).reshape(typesize * 8, aligned // 8)
+    bits = np.unpackbits(a, axis=1, bitorder="little")
+    out = np.packbits(np.ascontiguousarray(bits.T), axis=1, bitorder="little")
+    return out.tobytes() + buf[nb:]
+
+
 def _snappy_decompress(src: bytes, out_len: int) -> bytes:
     """Raw-snappy decoder (format.txt of google/snappy): uvarint length
     preamble, then literal / copy-with-1,2,4-byte-offset tags. Overlapping
@@ -180,10 +211,11 @@ def _codec_decompress(codec: str, payload: bytes, out_len: int) -> bytes:
         return zstandard.ZstdDecompressor().decompress(payload, max_output_size=out_len)
     if codec == "snappy":
         return _snappy_decompress(payload, out_len)
-    raise NotImplementedError(
-        f"blosc inner codec {codec!r} is unsupported here — re-encode the "
-        "store with blosc-lz4/zstd/zlib or plain zlib/zstd compression"
-    )
+    if codec == "blosclz":
+        from anemoi_models_tpu.native import blosclz_decompress
+
+        return blosclz_decompress(payload, out_len)
+    raise NotImplementedError(f"blosc inner codec {codec!r} is unsupported")
 
 
 def _blosc_decompress(blob: bytes) -> bytes:
@@ -197,15 +229,11 @@ def _blosc_decompress(blob: bytes) -> bytes:
         # tolerate trailing padding some writers add, but not truncation
         if cbytes > len(blob):
             raise ValueError("blosc: truncated chunk")
-    if flags & _BLOSC_BITSHUFFLE:
-        raise NotImplementedError(
-            "blosc bit-shuffle filter is unsupported here — re-encode with "
-            "byte-shuffle or no shuffle"
-        )
     if flags & _BLOSC_MEMCPY:
         return bytes(blob[16 : 16 + nbytes])
     codec = _BLOSC_FORMATS.get((flags >> 5) & 0x7, "?")
     shuffle = bool(flags & _BLOSC_SHUFFLE)
+    bitshuffle = bool(flags & _BLOSC_BITSHUFFLE)
     may_split = not (flags & _BLOSC_DONT_SPLIT) and 1 < typesize <= _BLOSC_MAX_SPLITS
     nblocks = -(-nbytes // blocksize) if blocksize else 0
     starts = struct.unpack_from(f"<{nblocks}i", blob, 16)
@@ -235,7 +263,12 @@ def _blosc_decompress(blob: bytes) -> bytes:
                     )
                 block += stream
             pos += 4 + csize
-        out += _unshuffle(bytes(block), typesize) if shuffle else bytes(block)
+        if shuffle:
+            out += _unshuffle(bytes(block), typesize)
+        elif bitshuffle:
+            out += _bitunshuffle(bytes(block), typesize)
+        else:
+            out += bytes(block)
     if len(out) != nbytes:
         raise ValueError(f"blosc: decoded {len(out)} bytes, expected {nbytes}")
     return bytes(out)
@@ -296,35 +329,88 @@ def _lz4_compress_naive(block: bytes) -> bytes:
     return bytes(out)
 
 
+def _blosclz_compress_naive(block: bytes) -> bytes:
+    """Greedy offset-1 (byte-RLE) BloscLZ block encoder.
+
+    Same stance as :func:`_lz4_compress_naive`: catch runs of one repeated
+    byte as distance-1 matches, emit everything else as literal runs (max 32
+    bytes per control token). Format-correct per the decoder in
+    ``native.blosclz_decompress``; used by the blosc *writer* for fixtures
+    and round-trip tests — real stores are read with the full decoder."""
+    out = bytearray()
+    n = len(block)
+    i = 0
+    lit_start = 0
+    while i < n:
+        run = 0
+        if i > 0:
+            while i + run < n and block[i + run] == block[i - 1]:
+                run += 1
+        if run >= 3:
+            j = lit_start
+            while j < i:  # flush pending literals, 32 per token
+                k = min(32, i - j)
+                out.append(k - 1)
+                out += block[j : j + k]
+                j += k
+            if run <= 8:
+                out.append((run - 2) << 5)
+            else:
+                out.append(7 << 5)
+                rem = run - 9
+                while rem >= 255:
+                    out.append(255)
+                    rem -= 255
+                out.append(rem)
+            out.append(0)  # offset byte: distance 1
+            i += run
+            lit_start = i
+        else:
+            i += 1
+    j = lit_start
+    while j < n:
+        k = min(32, n - j)
+        out.append(k - 1)
+        out += block[j : j + k]
+        j += k
+    return bytes(out)
+
+
 def _blosc_compress(
     raw: bytes,
     typesize: int,
     cname: str = "zstd",
-    shuffle: bool = True,
+    shuffle: int = 1,
     blocksize: int = 1 << 18,
     level: int = 1,
 ) -> bytes:
     """Blosc v1 chunk writer (fixture/round-trip counterpart of
     :func:`_blosc_decompress`). Inner codecs: zlib/zstd (real compression)
-    or lz4 (emitted as valid pure-literal LZ4 blocks — format-correct,
-    compression-free; real stores are read, not written, with lz4)."""
+    or lz4/blosclz (emitted by naive RLE encoders — format-correct, byte-run
+    matches only; real stores are read, not written, with those). ``shuffle``
+    follows numcodecs: 0 none, 1 byte, 2 bit."""
     import struct
 
     fmt = {v: k for k, v in _BLOSC_FORMATS.items()}[cname]
     typesize = max(int(typesize), 1)
+    shuffle = int(shuffle)
     blocksize = max(blocksize - blocksize % typesize, typesize)
     nbytes = len(raw)
     nblocks = -(-nbytes // blocksize) if nbytes else 0
     # DONT_SPLIT: this writer emits one stream per block
-    flags = (fmt << 5) | _BLOSC_DONT_SPLIT | (
-        _BLOSC_SHUFFLE if shuffle and typesize > 1 else 0
-    )
+    flags = (fmt << 5) | _BLOSC_DONT_SPLIT
+    if shuffle == 1 and typesize > 1:
+        flags |= _BLOSC_SHUFFLE
+    elif shuffle == 2:
+        flags |= _BLOSC_BITSHUFFLE
     header = struct.pack("<BBBB", 2, 1, flags, min(typesize, 255))
     blocks = []
     for j in range(nblocks):
         block = raw[j * blocksize : (j + 1) * blocksize]
-        if shuffle and typesize > 1:
+        if flags & _BLOSC_SHUFFLE:
             block = _shuffle(block, typesize)
+        elif flags & _BLOSC_BITSHUFFLE:
+            block = _bitshuffle(block, typesize)
         if cname == "zlib":
             import zlib
 
@@ -333,6 +419,8 @@ def _blosc_compress(
             import zstandard
 
             comp = zstandard.ZstdCompressor(level=level).compress(block)
+        elif cname == "blosclz":
+            comp = _blosclz_compress_naive(block)
         else:  # lz4: naive offset-1 RLE encoder — real matches on runs of
             # a repeated byte (plenty in byte-shuffled numeric data),
             # literals elsewhere; honors the end-of-block rules (last 5
@@ -369,15 +457,12 @@ def _compress(raw: bytes, compressor: Optional[dict]) -> bytes:
         return zstandard.ZstdCompressor(level=level).compress(raw)
     if cid == "blosc":
         # numcodecs-style config: {"id": "blosc", "cname": ..., "clevel": ...,
-        # "shuffle": 0|1|2, "blocksize": 0}; shuffle 2 (bit) unsupported
-        shuffle = int(compressor.get("shuffle", 1))
-        if shuffle == 2:
-            raise NotImplementedError("blosc bit-shuffle write is unsupported")
+        # "shuffle": 0|1|2 (none/byte/bit), "blocksize": 0}
         return _blosc_compress(
             raw,
             typesize=int(compressor.get("typesize", 4)),
             cname=compressor.get("cname", "zstd"),
-            shuffle=shuffle == 1,
+            shuffle=int(compressor.get("shuffle", 1)),
             blocksize=int(compressor.get("blocksize", 0)) or (1 << 18),
             level=int(compressor.get("clevel", level)),
         )

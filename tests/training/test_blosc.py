@@ -6,10 +6,13 @@ import numpy as np
 import pytest
 
 from anemoi_models_tpu import native
-from anemoi_models_tpu.native import _lz4_decompress_py
+from anemoi_models_tpu.native import _blosclz_decompress_py, _lz4_decompress_py
 from anemoi_models_tpu.training.zarr_store import (
+    _bitshuffle,
+    _bitunshuffle,
     _blosc_compress,
     _blosc_decompress,
+    _blosclz_compress_naive,
     _lz4_compress_naive,
     _shuffle,
     _unshuffle,
@@ -18,6 +21,10 @@ from anemoi_models_tpu.training.zarr_store import (
 DECODERS = [("py", lambda b, n: _lz4_decompress_py(b, n))]
 if native.available():
     DECODERS.append(("native", lambda b, n: native.lz4_decompress(b, n)))
+
+BLZ_DECODERS = [("py", lambda b, n: _blosclz_decompress_py(b, n))]
+if native.available():
+    BLZ_DECODERS.append(("native", lambda b, n: native.blosclz_decompress(b, n)))
 
 
 @pytest.mark.parametrize("name,decode", DECODERS)
@@ -74,8 +81,8 @@ def test_shuffle_inverse():
             assert _unshuffle(_shuffle(raw, typesize), typesize) == raw
 
 
-@pytest.mark.parametrize("cname", ["zstd", "zlib", "lz4"])
-@pytest.mark.parametrize("shuffle", [False, True])
+@pytest.mark.parametrize("cname", ["zstd", "zlib", "lz4", "blosclz"])
+@pytest.mark.parametrize("shuffle", [0, 1, 2])
 def test_blosc_container_roundtrip(cname, shuffle):
     rng = np.random.RandomState(2)
     for raw in (
@@ -99,12 +106,82 @@ def test_blosc_memcpy_mode():
     assert _blosc_decompress(header + raw) == raw
 
 
-def test_blosc_bitshuffle_rejected():
-    import struct
+@pytest.mark.parametrize("name,decode", BLZ_DECODERS)
+def test_blosclz_hand_vectors(name, decode):
+    # pure literal run: ctrl = n-1, then n bytes
+    assert decode(bytes([3]) + b"abcd", 4) == b"abcd"
+    # literal 'a' + short match (ctrl>>5 = 5 -> copy 7) at distance 1 (RLE)
+    assert decode(bytes([0]) + b"a" + bytes([5 << 5, 0]), 8) == b"a" * 8
+    # extended match length: nibble 7, ext 0 -> copy 9
+    assert decode(bytes([0]) + b"a" + bytes([7 << 5, 0, 0]), 10) == b"a" * 10
+    # extended match length with a 255 continuation: copy 9 + 255 + 1 = 265
+    assert decode(bytes([0]) + b"x" + bytes([7 << 5, 255, 1, 0]), 266) == b"x" * 266
+    # distance-2 alternating copy
+    assert decode(bytes([1]) + b"ab" + bytes([3 << 5, 1]), 7) == b"abababa"
+    # far match: 16-bit offset biased by MAX_DISTANCE (8191). Build >8193
+    # bytes of literals, then copy 4 bytes from distance 8193.
+    body = bytes(range(256)) * 33  # 8448 bytes
+    stream = bytearray()
+    for j in range(0, len(body), 32):
+        stream.append(31)
+        stream += body[j : j + 32]
+    stream += bytes([(2 << 5) | 31, 255, 0, 1])  # len 4, ofs16=1 -> d=8193
+    expect = body + body[len(body) - 8193 : len(body) - 8193 + 4]
+    assert decode(bytes(stream), len(expect)) == expect
 
-    header = struct.pack("<BBBB", 2, 1, 0x4, 4) + struct.pack("<iii", 8, 8, 16)
-    with pytest.raises(NotImplementedError, match="bit-shuffle"):
-        _blosc_decompress(header)
+
+@pytest.mark.parametrize("name,decode", BLZ_DECODERS)
+def test_blosclz_malformed_rejected(name, decode):
+    with pytest.raises(ValueError):
+        decode(bytes([0]) + b"a" + bytes([5 << 5, 7]), 8)  # distance beyond output
+    with pytest.raises(ValueError):
+        decode(bytes([7]) + b"ab", 8)  # truncated literals
+    with pytest.raises(ValueError):
+        decode(bytes([0]) + b"a" + bytes([7 << 5, 255]), 300)  # truncated ext
+    with pytest.raises(ValueError):
+        decode(bytes([3]) + b"abcd", 7)  # wrong decoded length
+
+
+@pytest.mark.parametrize("name,decode", BLZ_DECODERS)
+def test_blosclz_naive_compressor_roundtrip(name, decode):
+    rng = np.random.RandomState(3)
+    cases = [
+        b"",
+        b"short",
+        bytes(rng.randint(0, 256, 100, dtype=np.uint8)),
+        b"\x00" * 500,
+        b"header" + b"\x07" * 300 + b"tail-bytes" + b"\x07" * 64,
+        np.zeros(137, np.float32).tobytes(),
+    ]
+    compressed_any = False
+    for raw in cases:
+        comp = _blosclz_compress_naive(raw)
+        assert decode(comp, len(raw)) == raw
+        compressed_any |= len(comp) < max(len(raw), 1)
+    assert compressed_any
+
+
+def test_bitshuffle_hand_vectors():
+    # 8 uint8 elements, element 0 = 0b11: bit-position rows 0 and 1 each
+    # hold exactly element 0's bit -> output bytes [1, 1, 0, ...]
+    raw = bytes([3, 0, 0, 0, 0, 0, 0, 0])
+    assert _bitshuffle(raw, 1) == bytes([1, 1, 0, 0, 0, 0, 0, 0])
+    # 8 uint16 elements all == 1: bit-position 0 row = 8 set bits -> 0xff
+    raw = np.full(8, 1, np.uint16).tobytes()
+    out = _bitshuffle(raw, 2)
+    assert out[0] == 0xFF and all(b == 0 for b in out[1:])
+    # non-multiple-of-8 tail copied raw (c-blosc prefix rule)
+    raw = bytes(range(20))
+    out = _bitshuffle(raw, 2)  # 10 elements -> 8 shuffled, 2 copied
+    assert out[16:] == raw[16:]
+
+
+def test_bitshuffle_inverse():
+    rng = np.random.RandomState(4)
+    for typesize in (1, 2, 4, 8):
+        for n in (0, 64, 256, 250, 130):  # incl. non-multiple-of-8 elems
+            raw = bytes(rng.randint(0, 256, n * typesize, dtype=np.uint8))
+            assert _bitunshuffle(_bitshuffle(raw, typesize), typesize) == raw
 
 
 def test_blosc_split_mode_decode():

@@ -90,8 +90,8 @@ def test_zarr_blosc_truncated_chunk_rejected(tmp_path):
         arr[:]
 
 
-@pytest.mark.parametrize("cname", ["zstd", "zlib", "lz4"])
-@pytest.mark.parametrize("shuffle", [0, 1])
+@pytest.mark.parametrize("cname", ["zstd", "zlib", "lz4", "blosclz"])
+@pytest.mark.parametrize("shuffle", [0, 1, 2])
 def test_zarr_blosc_roundtrip(tmp_path, cname, shuffle):
     """Blosc-compressed stores (the anemoi-datasets default) read back
     bit-exactly through the self-contained chunk parser."""

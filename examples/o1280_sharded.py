@@ -344,18 +344,45 @@ def leg_budget(args) -> None:
             }
             programs = {
                 "forward": lambda: (
-                    jax.jit(model.apply, in_shardings=(None, batch_spec)),
+                    model.apply,
+                    dict(in_shardings=(None, batch_spec)),
                     (params_in, x_s),
                 ),
                 "train_step": lambda: (
-                    jax.jit(
-                        train_step, in_shardings=(None, batch_spec, target_spec),
-                        out_shardings=(state_out_sh, replicated), donate_argnums=(0,)),
+                    train_step,
+                    dict(in_shardings=(None, batch_spec, target_spec),
+                         out_shardings=(state_out_sh, replicated), donate_argnums=(0,)),
                     (state_s, x_s, y_s),
                 ),
             }
             for name in args.programs.split(","):
-                fn, fn_args = programs[name]()
+                f, jkw, fn_args = programs[name]()
+                if args.hoist:
+                    # program-size lever: graph tables leave the HLO as
+                    # literals and enter as runtime arguments (utils/hoist.py)
+                    from anemoi_models_tpu.utils import hoist_constants
+
+                    t0 = time.time()
+                    f, consts = hoist_constants(f, *fn_args)
+                    const_gib = sum(
+                        int(np.prod(np.shape(c) or (1,))) * np.dtype(c.dtype).itemsize
+                        for c in consts
+                    ) / 2**30
+                    log(f"{name}: hoisted {len(consts)} consts "
+                        f"({const_gib:.2f} GiB) in {time.time() - t0:.0f}s; "
+                        f"rss={rss_gb():.1f}GB")
+                    row[f"{name}_hoisted_gib"] = round(const_gib, 2)
+                    consts_s = [
+                        jax.ShapeDtypeStruct(np.shape(c), c.dtype, sharding=replicated)
+                        for c in consts
+                    ]
+                    jkw = dict(jkw)
+                    if jkw.get("in_shardings") is not None:
+                        jkw["in_shardings"] = (None,) + tuple(jkw["in_shardings"])
+                    if "donate_argnums" in jkw:
+                        jkw["donate_argnums"] = tuple(i + 1 for i in jkw["donate_argnums"])
+                    fn_args = (consts_s,) + tuple(fn_args)
+                fn = jax.jit(f, **jkw)
                 t0 = time.time()
                 compiled = fn.lower(*fn_args).compile()
                 ma = compiled.memory_analysis()
@@ -387,6 +414,8 @@ def leg_budget(args) -> None:
         tag += f"_{args.param_sharding}"
     if args.mapper_chunks != 2:
         tag += f"_mc{args.mapper_chunks}"
+    if args.hoist:
+        tag += "_hoist"
     _write_report(args, tag, {"topology": args.topology, "hbm_gb": args.hbm_gb,
                               "geometry": {"grid": n_grid, "mesh": n_mesh},
                               "rows": results})
@@ -425,6 +454,9 @@ def main() -> None:
                         ">100GB host RAM; run one program per invocation at "
                         "production widths)")
     p.add_argument("--hbm-gb", type=float, default=95.0)
+    p.add_argument("--hoist", type=int, default=1,
+                   help="hoist graph-table constants into runtime arguments "
+                        "before lowering (the O1280 partitioner-memory lever)")
     args = p.parse_args()
     if args.leg == "graph":
         load_or_build_graph(args.grid_lat, args.refinements)

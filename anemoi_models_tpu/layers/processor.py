@@ -206,6 +206,7 @@ class TransformerProcessor(nn.Module):
     attention_impl: str = "auto"
     remat_policy: str = "full"
     deterministic: bool = True
+    layer_scan: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -223,6 +224,7 @@ class TransformerProcessor(nn.Module):
                 dropout_p=self.dropout_p,
                 attention_impl=self.attention_impl,
                 deterministic=self.deterministic,
+                layer_scan=self.layer_scan,
                 dtype=self.dtype,
                 name=f"proc_{c}",
             )(x)
@@ -245,6 +247,7 @@ class GNNProcessor(nn.Module):
     dst_grid_size: int = 0
     graph_impl: str = "dense"
     remat_policy: str = "full"
+    layer_scan: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -271,6 +274,7 @@ class GNNProcessor(nn.Module):
                 mlp_extra_layers=self.mlp_extra_layers,
                 activation=self.activation,
                 edge_dim=edge_dim if c == 0 else None,  # first chunk embeds edges
+                layer_scan=self.layer_scan,
                 dtype=self.dtype,
                 name=f"proc_{c}",
             )(x, edge_attr, edge_index, tables)
@@ -296,6 +300,7 @@ class GraphTransformerProcessor(nn.Module):
     kv_src_gather: str = "auto"
     remat_policy: str = "full"
     deterministic: bool = True
+    layer_scan: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -327,6 +332,7 @@ class GraphTransformerProcessor(nn.Module):
                 activation=self.activation,
                 kv_src_gather=self.kv_src_gather,
                 deterministic=self.deterministic,
+                layer_scan=self.layer_scan,
                 dtype=self.dtype,
                 name=f"proc_{c}",
             )(x, edge_attr, edge_index, tables)

@@ -73,7 +73,7 @@ def load_or_build_graph(grid_lat: int, refinements: int):
 
 
 def make_model(graph, *, channels: int, layers: int, heads: int, n_vars: int,
-               num_chunks: int = 2):
+               num_chunks: int = 2, layer_scan: bool = False):
     """AIFS-recipe GraphTransformer enc-proc-dec at the given width."""
     import jax.numpy as jnp
 
@@ -106,7 +106,7 @@ def make_model(graph, *, channels: int, layers: int, heads: int, n_vars: int,
                     "_target_": "anemoi.models.layers.processor.GraphTransformerProcessor",
                     "num_layers": layers, "num_chunks": max(layers // 2, 1),
                     "num_heads": heads, "trainable_size": 4,
-                    "remat_policy": "full",
+                    "remat_policy": "full", "layer_scan": layer_scan,
                     "sub_graph_edge_attributes": edge_attrs,
                 },
                 "decoder": {
@@ -280,7 +280,7 @@ def leg_budget(args) -> None:
         log(f"--- C={channels} L={layers} vars={args.vars} bf16 ---")
         model, indices = make_model(
             graph, channels=channels, layers=layers, heads=args.heads, n_vars=args.vars,
-            num_chunks=args.mapper_chunks,
+            num_chunks=args.mapper_chunks, layer_scan=bool(args.layer_scan),
         )
         n_in = len(indices.internal_model.input)
         n_out = len(indices.internal_model.output)
@@ -416,6 +416,8 @@ def leg_budget(args) -> None:
         tag += f"_mc{args.mapper_chunks}"
     if args.hoist:
         tag += "_hoist"
+    if args.layer_scan:
+        tag += "_scan"
     _write_report(args, tag, {"topology": args.topology, "hbm_gb": args.hbm_gb,
                               "geometry": {"grid": n_grid, "mesh": n_mesh},
                               "rows": results})
@@ -454,6 +456,10 @@ def main() -> None:
                         ">100GB host RAM; run one program per invocation at "
                         "production widths)")
     p.add_argument("--hbm-gb", type=float, default=95.0)
+    p.add_argument("--layer-scan", type=int, default=0,
+                   help="nn.scan-stacked processor layers (program size "
+                        "independent of depth; scan-averse on the tunneled "
+                        "dev chip, fine on real TPUs)")
     p.add_argument("--hoist", type=int, default=1,
                    help="hoist graph-table constants into runtime arguments "
                         "before lowering (the O1280 partitioner-memory lever)")

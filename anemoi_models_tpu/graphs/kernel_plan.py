@@ -82,24 +82,35 @@ class EdgeKernelPlan:
         return float(self.slot_mask.sum()) / max(total, 1)
 
 
+# Outlier weight (slot-units per COO edge) of the plan cost model. Originally
+# fitted from the round-2 O96 slab sweep (384 → 1,094k, 256 → 1,062k,
+# 512 → 970k pts/s, same session; solve t = a·R·W + b·E_out + c, κ = b/a);
+# round-5 re-validation against the on-chip multipass A/Bs
+# (examples/kappa_fit.py) turns every measured ordering into a bound:
+#   κ > 839 (r5 slab 384 beats 256),  κ < 1089 (r6 1 pass beats 2),
+#   κ < 1701 (r5 1 pass beats 2),     κ < 2383 (r5 1 pass beats 3).
+# κ = 936 sits inside the admissible band, so auto-pass selection prefers a
+# single pass at r5 AND r6 *from the model* — the round-4 mis-prediction was
+# the fixed-width extrapolation, not κ. (The r5 "p3 < p2" on-chip ordering
+# needs κ > 3978 and is unreachable by any single κ — a fixed-cost COO-path
+# term the linear model omits; harmless for greedy auto, which stops at the
+# first pass that does not pay and never reaches p3.)
+PLAN_KAPPA = 936.0
+
+
 def plan_cost(plan) -> float:
     """Relative on-chip cost of running a plan: slot one-hot gather work
-    (∝ slot rows × slab width) plus the outlier segment path.
-
-    The outlier weight κ = 936 slot-units/edge was fitted from the measured
-    O96 slab sweep (PERF.md: 384 → 1,094k, 256 → 1,062k, 512 → 970k pts/s,
-    same session): solve t = a·R·W + b·E_out + c for the three widths and
-    take κ = b/a. The model reproduces the measured ordering; the
-    coverage-within-1% rule it replaces picked 512 there (-11%).
+    (∝ slot rows × slab width) plus the κ-weighted outlier segment path
+    (:data:`PLAN_KAPPA` — fit + validation bounds documented there).
 
     A :class:`MultiPassPlan` costs the sum of its passes' slot terms plus
     the final residual's outlier term.
     """
     if isinstance(plan, MultiPassPlan):
         slot = sum(float(p.padded_dst * p.cap) * p.slab_width for p in plan.plans)
-        return slot + 936.0 * len(plan.plans[-1].outlier_src)
+        return slot + PLAN_KAPPA * len(plan.plans[-1].outlier_src)
     rows = plan.padded_dst * plan.cap
-    return float(rows) * plan.slab_width + 936.0 * len(plan.outlier_src)
+    return float(rows) * plan.slab_width + PLAN_KAPPA * len(plan.outlier_src)
 
 
 def _select_plan(candidates: dict) -> "EdgeKernelPlan":
@@ -230,7 +241,7 @@ def build_multi_pass_plan(
             total = (
                 slot_cost
                 + float(plan.padded_dst * plan.cap) * plan.slab_width
-                + 936.0 * len(plan.outlier_src)
+                + PLAN_KAPPA * len(plan.outlier_src)
             )
             if prev_total is not None and total >= prev_total:
                 break  # this pass does not pay for itself
@@ -545,6 +556,8 @@ def build_halo_kernel_plans(
     coverage at refinement 8, where per-shard plans inherit the global RCM
     bandwidth (PERF.md: 61.7% single-window at 8 and 16 shards). With one
     pass the shapes are exactly the legacy single-window layout.
+    ``passes=-1`` adds passes greedily while each lowers the summed modeled
+    cost across shards (:data:`PLAN_KAPPA` rule), capped at 4.
     """
     s_count, nps = part.num_shards, part.nodes_per_shard
     h_pad = part.halo_select.shape[1]
@@ -598,7 +611,11 @@ def build_halo_kernel_plans(
 
     pass_plans: list[list[EdgeKernelPlan]] = []
     pass_gids: list[list[np.ndarray]] = []
-    for p in range(max(passes, 1)):
+    auto = passes < 0
+    max_passes = 4 if auto else max(passes, 1)
+    slot_cost = 0.0
+    prev_total = None
+    for p in range(max_passes):
         if slab_width:
             plans = shard_plans(slab_width)
         else:
@@ -612,9 +629,17 @@ def build_halo_kernel_plans(
             else:  # summed modeled cost across shards (see plan_cost)
                 width = min(candidates, key=lambda w: sum(plan_cost(q) for q in candidates[w]))
             plans = candidates[width]
+        if auto:
+            pass_slot = sum(float(q.padded_dst * q.cap) * q.slab_width for q in plans)
+            out_count = sum(len(q.outlier_src) for q in plans)
+            total = slot_cost + pass_slot + PLAN_KAPPA * out_count
+            if prev_total is not None and total >= prev_total:
+                break  # this pass does not pay for itself; keep the chain so far
+            prev_total = total
+            slot_cost += pass_slot
         pass_plans.append(plans)
         pass_gids.append(list(res_gids))
-        if p == passes - 1 or all(len(q.outlier_src) == 0 for q in plans):
+        if p == max_passes - 1 or all(len(q.outlier_src) == 0 for q in plans):
             break
         res_ei = [np.stack([q.outlier_src, q.outlier_dst]).astype(np.int64) for q in plans]
         res_gids = [g[q.outlier_edge_ids] for g, q in zip(res_gids, plans)]
@@ -906,7 +931,9 @@ def edge_set_kernel_plan(
     ``passes=0`` reads ``ANEMOI_PLAN_PASSES`` (default 1). ``passes>1``
     builds a :class:`MultiPassPlan` (multi-window layout — restores
     coverage on high-refinement meshes where a single RCM slab cannot
-    follow the bandwidth; attention flavors only).
+    follow the bandwidth; attention flavors only); ``passes=-1`` lets the
+    cost model add passes greedily while each pays for itself
+    (:func:`build_multi_pass_plan` auto mode).
     """
     import os
 
@@ -920,7 +947,7 @@ def edge_set_kernel_plan(
     mode = os.environ.get("ANEMOI_PLAN_SELECT", "cost") if not slab_width else ""
     key = ("kernel_plan", num_dst, num_src, block_nodes, cap, slab_width, mode, passes)
     if key not in cache:
-        if passes > 1:
+        if passes > 1 or passes < 0:
             plan = build_multi_pass_plan(
                 edge_set.edge_index, num_dst, num_src,
                 block_nodes=block_nodes, cap=cap, slab_width=slab_width,

@@ -128,7 +128,8 @@ def _tables(
                 pkey = ("halo_kernel_plans", num_dst, shards, nb, kp)
                 if pkey not in cache:
                     cache[pkey] = build_halo_kernel_plans(
-                        part, block_nodes=nb, passes=max(kp, 1)
+                        part, block_nodes=nb,
+                        passes=kp if kp < 0 else max(kp, 1),
                     )
                 plans = cache[pkey]
             if not halo_plans:  # GNN flavor: scatter-free gather layouts

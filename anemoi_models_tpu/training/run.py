@@ -224,18 +224,42 @@ def train_run(
 
     indices, iface = make_iface(config)
     if auto_remat:
-        import optax
-
         from anemoi_models_tpu.training.step import resolve_remat_policy
 
         ms = int(config.training.multistep_input)
         n_grid = graph["data"].num_nodes
-        # adam proxy: moment memory (2x params) matches the real adamw
+        # the proxy compiles the step variant this run will execute: max
+        # curriculum rollout, the ensemble axis, the run's loss (CRPS
+        # materializes member-pair terms), the real optimizer chain, and the
+        # EMA thread (advisor round-4 finding: a plain single-step adam
+        # proxy understates all of these)
+        max_ro = max(
+            (int(r) for _, r in rollout_schedule), default=rollout
+        ) if rollout_schedule else rollout
+        area_proxy = jnp.asarray(graph["data"].attrs["area_weight"][:, 0])
+        loss_proxy = (
+            WeightedCRPSLoss(node_weights=area_proxy)
+            if loss == "crps"
+            else WeightedMSELoss(node_weights=area_proxy)
+        )
+        opt_proxy = make_optimizer(
+            peak_lr,
+            warmup_steps=min(
+                warmup_steps if warmup_steps is not None else max(steps // 10, 1), steps
+            ),
+            total_steps=steps,
+            weight_decay=weight_decay,
+        )
         chosen = resolve_remat_policy(
             iface.model,
-            optax.adam(peak_lr),
+            opt_proxy,
             (batch_size, ms, 1, n_grid, len(indices.internal_model.input)),
             (batch_size, 1, n_grid, len(indices.internal_model.output)),
+            indices=indices,
+            rollout=max_ro,
+            ensemble=ensemble,
+            loss_fn=loss_proxy,
+            ema=ema_decay is not None,
             log=log,
         )
         if chosen != "none":

@@ -140,6 +140,11 @@ def resolve_remat_policy(
     x_shape: tuple,
     y_shape: tuple,
     *,
+    indices: Any = None,
+    rollout: int = 1,
+    ensemble: int = 1,
+    loss_fn: Optional[Callable] = None,
+    ema: bool = False,
     limit_bytes: Optional[int] = None,
     headroom: float = 0.85,
     log: Optional[Callable] = None,
@@ -154,6 +159,17 @@ def resolve_remat_policy(
     ``headroom`` × the device's memory budget; otherwise fall back to the
     reference-equivalent "full". Costs one extra AOT compile only when the
     fallback triggers (the "none" executable is the one used otherwise).
+
+    The compiled proxy must be the step variant the run will actually
+    execute (advisor round-4 finding — a plain single-step proxy under-
+    states rollout/ensemble/EMA peaks): ``rollout`` > 1 compiles the
+    ``make_rollout_train_step`` scan (``indices`` required), ``ensemble``
+    multiplies the member axis of ``x_shape``/``y_shape``, ``loss_fn``
+    should be the run's loss (CRPS materializes member-pair terms), and
+    ``ema=True`` threads a donated EMA tree through the step exactly as
+    ``train_run`` does. ``steps_per_call`` needs no proxy: unrolled steps
+    donate state between iterations, so the peak matches one step plus the
+    (small) extra batch queue.
 
     ``limit_bytes=None`` reads ``memory_stats()['bytes_limit']`` from the
     first local device; when the backend reports no budget (CPU), the safe
@@ -178,13 +194,40 @@ def resolve_remat_policy(
     if not limit_bytes:
         say("remat auto: unknown device memory budget; using 'full'")
         return "full"
-    init_state, train_step = make_train_step(model, optimizer)
-    x_s = jax.ShapeDtypeStruct(tuple(x_shape), jnp.float32)
-    y_s = jax.ShapeDtypeStruct(tuple(y_shape), jnp.float32)
+    x_shape = tuple(x_shape)
+    y_shape = tuple(y_shape)
+    if ensemble > 1:
+        x_shape = x_shape[:2] + (x_shape[2] * ensemble,) + x_shape[3:]
+        y_shape = y_shape[:1] + (y_shape[1] * ensemble,) + y_shape[2:]
+    x_s = jax.ShapeDtypeStruct(x_shape, jnp.float32)
+    if rollout > 1:
+        assert indices is not None, "rollout remat proxy needs the IndexCollection"
+        init_state, base_step = make_rollout_train_step(
+            model, indices, optimizer, rollout, loss_fn
+        )
+        truth_s = jax.ShapeDtypeStruct((rollout,) + x_shape[:1] + x_shape[2:], jnp.float32)
+        tgt_s = jax.ShapeDtypeStruct((rollout,) + y_shape, jnp.float32)
+        step_args = (truth_s, tgt_s)
+    else:
+        init_state, base_step = make_train_step(model, optimizer, loss_fn)
+        step_args = (jax.ShapeDtypeStruct(y_shape, jnp.float32),)
     state_shape = jax.eval_shape(init_state, jax.random.key(0), x_s)
+    if ema:
+        from anemoi_models_tpu.training.optim import ema_update
+
+        def train_step(state, ema_tree, x, *rest):
+            state, loss = base_step(state, x, *rest)
+            return state, ema_update(ema_tree, state.params, 0.999), loss
+
+        proxy_args = (state_shape, state_shape.params, x_s) + step_args
+        donate = (0, 1)
+    else:
+        train_step = base_step
+        proxy_args = (state_shape, x_s) + step_args
+        donate = (0,)
     try:
         compiled = (
-            jax.jit(train_step, donate_argnums=0).lower(state_shape, x_s, y_s).compile()
+            jax.jit(train_step, donate_argnums=donate).lower(*proxy_args).compile()
         )
         ma = compiled.memory_analysis()
         peak = (

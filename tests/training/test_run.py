@@ -8,6 +8,7 @@ checkpoint/resume (optimizer moments + EMA + sampler position).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -516,5 +517,65 @@ def test_train_run_auto_remat(tmp_path):
         model_kwargs=dict(num_channels=16, num_layers=2, num_heads=4,
                           num_chunks=1, remat_policy="auto"),
         steps=2, batch_size=1, seed=0, log=msgs.append,
+    )
+    assert np.isfinite(out["losses"]).all()
+
+
+def test_resolve_remat_policy_real_variant():
+    """The auto proxy compiles the step variant the run executes: rollout
+    scan + ensemble axis + CRPS + EMA thread (advisor round-4 finding — a
+    plain single-step adam proxy understates those peaks)."""
+    import optax
+
+    from anemoi_models_tpu.data_indices import IndexCollection
+    from anemoi_models_tpu.models import AnemoiModelEncProcDec
+    from anemoi_models_tpu.training.loss import WeightedCRPSLoss
+    from anemoi_models_tpu.training.step import resolve_remat_policy
+    from tests.helpers_models import VARS, make_config, small_graph_cached
+
+    cfg = make_config("graphtransformer")
+    graph = small_graph_cached()
+    di = IndexCollection(cfg, dict(VARS))
+    model = AnemoiModelEncProcDec(model_config=cfg, data_indices=di, graph_data=graph)
+    n_grid = graph["data"].num_nodes
+    n_in = len(di.internal_model.input)
+    n_out = len(di.internal_model.output)
+    x_shape = (1, 2, 1, n_grid, n_in)
+    y_shape = (1, 1, n_grid, n_out)
+    area = jnp.ones((n_grid,), jnp.float32)
+    msgs = []
+    got = resolve_remat_policy(
+        model, optax.adam(1e-3), x_shape, y_shape,
+        indices=di, rollout=2, ensemble=3,
+        loss_fn=WeightedCRPSLoss(node_weights=area),
+        ema=True, limit_bytes=1 << 40, log=msgs.append,
+    )
+    assert got == "none"  # tiny model under a 1 TiB budget
+    assert any("remat auto" in m for m in msgs)
+    # the same variant under an impossible budget falls back to full
+    got = resolve_remat_policy(
+        model, optax.adam(1e-3), x_shape, y_shape,
+        indices=di, rollout=2, ensemble=3,
+        loss_fn=WeightedCRPSLoss(node_weights=area),
+        ema=True, limit_bytes=1 << 10, log=msgs.append,
+    )
+    assert got == "full"
+
+
+def test_train_run_auto_remat_rollout_ensemble(tmp_path):
+    """auto remat resolves through the rollout+ensemble+EMA proxy and the
+    run completes."""
+    from anemoi_models_tpu.graphs import latlon_grid_nodes
+    from anemoi_models_tpu.training.dataset import SyntheticSource
+
+    coords = latlon_grid_nodes(8).coords
+    source = SyntheticSource(coords, num_vars=4, num_steps=16, seed=0)
+    msgs = []
+    out = train_run(
+        source, forcing=("var_0",), mesh_refinements=1,
+        model_kwargs=dict(num_channels=16, num_layers=2, num_heads=4,
+                          num_chunks=1, remat_policy="auto"),
+        steps=2, batch_size=1, seed=0, rollout=2, ensemble=2, loss="crps",
+        ema_decay=0.99, log=msgs.append,
     )
     assert np.isfinite(out["losses"]).all()

@@ -56,7 +56,6 @@ class MultiHeadSelfAttention(nn.Module):
         if (
             impl == "auto"
             and self.window_size is not None
-            and drop_rate == 0.0
             and not self.is_causal
             and mesh is not None
             and "model" in mesh.axis_names
@@ -64,14 +63,10 @@ class MultiHeadSelfAttention(nn.Module):
         ):
             # sequence-parallel default: windowed attention under a model axis
             # exchanges only +-window halos (ppermute) instead of the two
-            # Ulysses all-to-alls
+            # Ulysses all-to-alls; attention-weight dropout runs in-shard
+            # (reference dropout_p semantics), so training keeps this path
             impl = "halo"
         if impl == "halo":
-            if drop_rate > 0.0:
-                raise NotImplementedError(
-                    "halo attention does not support attention-weight dropout; "
-                    "train with attention_impl='auto'/'chunked' or dropout_p=0"
-                )
             if self.is_causal:
                 raise NotImplementedError(
                     "halo attention has no causal mask; use attention_impl="
@@ -85,7 +80,8 @@ class MultiHeadSelfAttention(nn.Module):
             assert self.window_size is not None, "halo attention requires a window_size"
             assert mesh is not None, "halo attention requires an active mesh"
             out = halo_window_attention(
-                query, key, value, window_size=self.window_size, mesh=mesh
+                query, key, value, window_size=self.window_size, mesh=mesh,
+                dropout_rate=drop_rate, dropout_rng=drop_rng,
             )
         else:
             # Ulysses-style resharding, GSPMD edition: outside attention the

@@ -26,11 +26,17 @@ from jax.sharding import Mesh, PartitionSpec as P
 __all__ = ["halo_window_attention"]
 
 
-def _local_window_attention(q, k_ext, v_ext, window: int, n_total: int, shard_len: int, axis: str):
+def _local_window_attention(
+    q, k_ext, v_ext, window: int, n_total: int, shard_len: int, axis: str,
+    dropout_rate: float = 0.0, rng_data=None,
+):
     """Windowed attention of local queries against halo-extended keys.
 
     q (B, H, n_loc, D); k_ext/v_ext (B, H, n_loc + 2w, D) laid out as
-    [left halo | local | right halo]. Runs inside shard_map.
+    [left halo | local | right halo]. Runs inside shard_map. Attention-weight
+    dropout draws per-shard iid Bernoulli masks on the normalized
+    probabilities (the reference's flash-attn ``dropout_p`` semantics) from
+    the replicated key folded with the shard index.
     """
     idx = jax.lax.axis_index(axis)
     off = idx * shard_len
@@ -42,6 +48,10 @@ def _local_window_attention(q, k_ext, v_ext, window: int, n_total: int, shard_le
     mask = (jnp.abs(qpos - kpos) <= window) & (kpos >= 0) & (kpos < n_total)
     s = jnp.where(mask, s, -1e30)
     w = jax.nn.softmax(s, axis=-1)
+    if dropout_rate > 0.0:
+        key = jax.random.fold_in(jax.random.wrap_key_data(rng_data), idx)
+        keep = jax.random.bernoulli(key, 1.0 - dropout_rate, w.shape)
+        w = jnp.where(keep, w / (1.0 - dropout_rate), 0.0)
     return jnp.einsum("bhqk,bhkd->bhqd", w.astype(v_ext.dtype), v_ext)
 
 
@@ -53,12 +63,20 @@ def halo_window_attention(
     window_size: int,
     mesh: Mesh,
     axis: str = "model",
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
 ) -> jnp.ndarray:
     """Windowed attention over (B, H, N, D) with N sharded on ``axis``.
 
     Communication: two ppermute halo sends of width ``window_size`` per
-    k and v — O(w) payload on the ICI ring.
+    k and v — O(w) payload on the ICI ring. ``dropout_rate`` > 0 applies
+    attention-weight dropout inside each shard (reference ``dropout_p``
+    semantics; the draw pattern is shard-count-dependent, as any sharded
+    dropout is) — the sequence-parallel training path no longer falls back
+    to the all-to-all layout (round-4 verdict item 4).
     """
+    if dropout_rate > 0.0 and dropout_rng is None:
+        raise ValueError("halo attention dropout_rate > 0 requires a dropout_rng")
     n = q.shape[-2]
     size = mesh.shape[axis]
     n_pad = -(-n // size) * size
@@ -74,13 +92,19 @@ def halo_window_attention(
     )
     w = window_size
 
+    rng_data = (
+        jax.random.key_data(dropout_rng)
+        if dropout_rate > 0.0
+        else jnp.zeros((2,), jnp.uint32)
+    )
+
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(None, None, axis, None),) * 3,
+        in_specs=(P(None, None, axis, None),) * 3 + (P(None),),
         out_specs=P(None, None, axis, None),
     )
-    def run(q_blk, k_blk, v_blk):
+    def run(q_blk, k_blk, v_blk, rng_blk):
         nshards = mesh.shape[axis]
         fwd = [(i, (i + 1) % nshards) for i in range(nshards)]
         bwd = [(i, (i - 1) % nshards) for i in range(nshards)]
@@ -92,7 +116,10 @@ def halo_window_attention(
             right = jax.lax.ppermute(t[..., :w, :], axis, bwd)
             return jnp.concatenate([left, t, right], axis=-2)
 
-        return _local_window_attention(q_blk, halo(k_blk), halo(v_blk), w, n, shard_len, axis)
+        return _local_window_attention(
+            q_blk, halo(k_blk), halo(v_blk), w, n, shard_len, axis,
+            dropout_rate, rng_blk,
+        )
 
-    out = run(q, k, v)
+    out = run(q, k, v, rng_data)
     return out[..., :n, :] if n_pad != n else out

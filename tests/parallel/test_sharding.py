@@ -210,3 +210,76 @@ def test_transformer_auto_routes_to_halo_with_padding():
         out = compiled(ps, xs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4, rtol=1e-3)
     assert "all-to-all" not in compiled.as_text()
+
+
+def test_halo_attention_dropout_semantics():
+    """Attention-weight dropout on the halo path: reference dropout_p
+    semantics (iid Bernoulli on normalized probabilities, 1/(1-p) rescale).
+    With v = ones every output row is the sum of kept rescaled weights:
+    mean ~ 1, strictly positive variance; rate=0 stays bit-identical to the
+    deterministic path."""
+    from anemoi_models_tpu.ops.ring_attention import halo_window_attention
+
+    rng = np.random.RandomState(0)
+    b, h, n, d = 1, 4, 128, 8
+    q = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+    ones = jnp.ones((b, h, n, d), jnp.float32)
+
+    mesh = make_mesh(data=1, model=8)
+    with use_mesh(mesh):
+        det = halo_window_attention(q, k, ones, window_size=8, mesh=mesh)
+        det0 = halo_window_attention(
+            q, k, ones, window_size=8, mesh=mesh, dropout_rate=0.0,
+            dropout_rng=jax.random.key(3),
+        )
+        drop = halo_window_attention(
+            q, k, ones, window_size=8, mesh=mesh, dropout_rate=0.3,
+            dropout_rng=jax.random.key(3),
+        )
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(det0))
+    vals = np.asarray(drop)
+    assert np.isfinite(vals).all()
+    # with v=1: output = sum of kept weights / (1-p); E = 1
+    assert abs(vals.mean() - 1.0) < 0.05
+    assert vals.std() > 0.05  # dropout actually fired
+    # different keys draw different masks
+    with use_mesh(mesh):
+        drop2 = halo_window_attention(
+            q, k, ones, window_size=8, mesh=mesh, dropout_rate=0.3,
+            dropout_rng=jax.random.key(4),
+        )
+    assert not np.allclose(vals, np.asarray(drop2))
+
+
+def test_transformer_dropout_training_keeps_halo_path():
+    """Round-4 verdict item 4: transformer-flavor TRAINING with dropout_p>0
+    under a model axis must keep the halo path (no Ulysses all-to-alls in
+    the compiled train step) and produce a finite loss."""
+    import optax
+
+    from anemoi_models_tpu.layers import TransformerProcessor
+
+    n = 128
+    x = jnp.asarray(np.random.RandomState(0).randn(1, n, 16), jnp.float32)
+    proc = TransformerProcessor(
+        num_layers=2, num_channels=16, num_chunks=1, num_heads=4,
+        window_size=8, dropout_p=0.2, attention_impl="auto", deterministic=False,
+    )
+    mesh = make_mesh(data=1, model=8)
+    with use_mesh(mesh):
+        params = proc.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)}, x
+        )
+
+        def loss_of(p, x):
+            out = proc.apply(p, x, rngs={"dropout": jax.random.key(2)})
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, "model", None)))
+        ps = jax.device_put(params, NamedSharding(mesh, P()))
+        compiled = jax.jit(jax.value_and_grad(loss_of)).lower(ps, xs).compile()
+        loss, grads = compiled(ps, xs)
+    assert np.isfinite(float(loss))
+    assert all(bool(jnp.isfinite(g).all()) for g in jax.tree_util.tree_leaves(grads))
+    assert "all-to-all" not in compiled.as_text()

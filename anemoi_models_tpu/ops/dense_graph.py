@@ -40,14 +40,45 @@ class PaddedTranspose(NamedTuple):
     mask: jnp.ndarray  # (rows, M) bool
 
 
+def _adjoint_chunks(rows: int, m: int, row_bytes: int) -> int:
+    """Reduction-axis chunk count for transpose adjoints.
+
+    The naive adjoint materializes a (rows, M, C) gather before its
+    mask-and-sum; at O1280 the decoder mapper's transpose table makes that
+    a 46 GiB temp — the single largest allocation of the 16-chip train
+    step (round-5 measurement). Chunking the M axis keeps only an
+    (rows, m_chunk, C) transient live (the accumulator is (rows, C)).
+    ``ANEMOI_ADJOINT_CHUNK_BYTES`` bounds the transient (default 1 GiB;
+    0 disables chunking)."""
+    import os
+
+    limit = int(os.environ.get("ANEMOI_ADJOINT_CHUNK_BYTES", str(1 << 30)))
+    if limit <= 0 or m <= 1:
+        return 1
+    total = rows * m * row_bytes
+    return max(1, min(m, -(-total // limit)))
+
+
 def padded_transpose_sum(g: jnp.ndarray, t: PaddedTranspose) -> jnp.ndarray:
     """Adjoint of ``x -> x[ids]`` via a padded transpose: gather the
     cotangent rows at each source row's positions and reduce. ``g`` (P, ...)
-    -> (rows, ...)."""
-    safe = jnp.where(t.tab >= 0, t.tab, 0)
-    got = jnp.take(g, safe, axis=0)  # (rows, M, ...)
-    m = t.mask.reshape(t.mask.shape + (1,) * (g.ndim - 1))
-    return jnp.where(m, got, 0).sum(axis=1)
+    -> (rows, ...). The M-axis reduction is chunked so the gathered
+    cotangent transient stays bounded (see :func:`_adjoint_chunks`)."""
+    rows, m = t.tab.shape
+    extra = 1
+    for d in g.shape[1:]:
+        extra *= d
+    nch = _adjoint_chunks(rows, m, extra * g.dtype.itemsize)
+    bounds = [round(i * m / nch) for i in range(nch + 1)]
+    dx = None
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        tab = t.tab[:, lo:hi]
+        safe = jnp.where(tab >= 0, tab, 0)
+        got = jnp.take(g, safe, axis=0)  # (rows, hi-lo, ...)
+        msk = t.mask[:, lo:hi].reshape(tab.shape + (1,) * (g.ndim - 1))
+        part = jnp.where(msk, got, 0).sum(axis=1)
+        dx = part if dx is None else dx + part
+    return dx
 
 
 @jax.custom_vjp
@@ -101,8 +132,18 @@ def _ptr_bwd(res, g):
 
     carrier, ids, tab, mask = res
     f0 = jax.dtypes.float0
-    got = jnp.take(g, tab, axis=-2)  # (..., R, M, C)
-    dx = jnp.where(mask[..., None], got, 0).sum(axis=-2).astype(carrier.dtype)
+    r, m = tab.shape
+    lead = 1
+    for d in g.shape[:-2]:
+        lead *= d
+    nch = _adjoint_chunks(r, m, lead * g.shape[-1] * g.dtype.itemsize)
+    bounds = [round(i * m / nch) for i in range(nch + 1)]
+    dx = None
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        got = jnp.take(g, tab[:, lo:hi], axis=-2)  # (..., R, hi-lo, C)
+        part = jnp.where(mask[:, lo:hi, None], got, 0).sum(axis=-2)
+        dx = part if dx is None else dx + part
+    dx = dx.astype(carrier.dtype)
     return (
         dx,
         _np.zeros(ids.shape, dtype=f0),

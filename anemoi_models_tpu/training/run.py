@@ -102,6 +102,7 @@ def train_run(
     loader_workers: int = 1,
     prefetch: int = 2,
     steps_per_call: int = 1,
+    overlap_calls: bool = True,
     handle_signals: bool = True,
     profile_dir: Optional[str] = None,
     profile_steps: tuple = (10, 13),
@@ -581,8 +582,28 @@ def train_run(
                     or (profile_dir and s - start_step in tuple(profile_steps))
                 )
 
+            def _flush_logs(flushed, step_losses):
+                nonlocal t_seg, i_seg
+                last = flushed[-1]
+                want_log = [
+                    s for s in flushed if s % max(log_every, 1) == 0 or s == steps
+                ]
+                if not want_log:
+                    return
+                # host fetch: all queued steps have executed
+                lvals = np.asarray(step_losses)
+                now = time.perf_counter()
+                rate = (last - start_step - i_seg) / max(now - t_seg, 1e-9)
+                t_seg, i_seg = now, last - start_step
+                for s in want_log:
+                    lv = float(lvals[s - flushed[0]])
+                    losses.append(lv)
+                    log(f"step {s:6d}  loss {lv:.5f}  ({rate:.2f} steps/s)")
+                    log_metrics({"step": s, "loss": lv, "steps_per_s": round(rate, 4)})
+
             group: list = []
             group_nos: list[int] = []
+            pending = None  # deferred (flushed, step_losses) awaiting host fetch
             for i, raw in enumerate(stream):
                 step_no = start_step + i + 1
                 r = rollout_at(step_no)
@@ -605,20 +626,22 @@ def train_run(
                 )
                 flushed, group, group_nos = group_nos, [], []
                 step_no = flushed[-1]
-                want_log = [
-                    s for s in flushed if s % max(log_every, 1) == 0 or s == steps
-                ]
-                if want_log:
-                    # host fetch: all queued steps have executed
-                    lvals = np.asarray(step_losses)
-                    now = time.perf_counter()
-                    rate = (step_no - start_step - i_seg) / max(now - t_seg, 1e-9)
-                    t_seg, i_seg = now, step_no - start_step
-                    for s in want_log:
-                        lv = float(lvals[s - flushed[0]])
-                        losses.append(lv)
-                        log(f"step {s:6d}  loss {lv:.5f}  ({rate:.2f} steps/s)")
-                        log_metrics({"step": s, "loss": lv, "steps_per_s": round(rate, 4)})
+                # dispatch happened (async); NOW fetch the previous group's
+                # losses — the device is already past them, so the fetch
+                # costs nothing and the next group's batches staged while
+                # this group executed (the overlap lever)
+                if pending is not None:
+                    _flush_logs(*pending)
+                    pending = None
+                needs_state_now = (
+                    event_step(step_no)
+                    or stop_requested
+                    or step_no >= start_step + remaining
+                )
+                if overlap_calls and not needs_state_now:
+                    pending = (flushed, step_losses)
+                else:
+                    _flush_logs(flushed, step_losses)
                 loss = step_losses[-1]
                 if eval_every and step_no % eval_every == 0:
                     scores = _eval_tail(
@@ -667,6 +690,9 @@ def train_run(
 
                 signal.signal(sig, handler)
 
+        if pending is not None:
+            _flush_logs(*pending)
+            pending = None
         final_step = start_step + max(remaining, 0)
         if ckpt_path and remaining > 0:
             save(final_step)

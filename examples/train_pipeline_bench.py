@@ -53,6 +53,7 @@ def main() -> None:
         batch_size=1,
         peak_lr=3e-4,
         steps_per_call=int(os.environ.get("STEPS_PER_CALL", 1)),
+        overlap_calls=bool(int(os.environ.get("OVERLAP", "1"))),
         # steps_per_call > 1 assembles that many batches per dispatch: keep
         # the loader ahead of the whole group or the device waits on ingest
         loader_depth=int(os.environ.get("LOADER_DEPTH", 4)),

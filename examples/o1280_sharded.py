@@ -372,8 +372,21 @@ def leg_budget(args) -> None:
                         f"({const_gib:.2f} GiB) in {time.time() - t0:.0f}s; "
                         f"rss={rss_gb():.1f}GB")
                     row[f"{name}_hoisted_gib"] = round(const_gib, 2)
+                    # per-shard stacked tables (leading dim == model-axis
+                    # size) can live sharded: each chip then holds only its
+                    # shard's slice instead of a replicated copy. Safe even
+                    # on a false positive (GSPMD reshards; numerics
+                    # unchanged) — this is purely an HBM-residency choice.
+                    n_model = int(mesh.shape["model"])
+                    def _const_sharding(shape):
+                        if args.shard_tables and len(shape) >= 1 and shape[0] == n_model:
+                            return NamedSharding(
+                                mesh, P(*(("model",) + (None,) * (len(shape) - 1)))
+                            )
+                        return replicated
                     consts_s = [
-                        jax.ShapeDtypeStruct(np.shape(c), c.dtype, sharding=replicated)
+                        jax.ShapeDtypeStruct(np.shape(c), c.dtype,
+                                             sharding=_const_sharding(np.shape(c)))
                         for c in consts
                     ]
                     jkw = dict(jkw)
@@ -418,6 +431,8 @@ def leg_budget(args) -> None:
         tag += "_hoist"
     if args.layer_scan:
         tag += "_scan"
+    if args.shard_tables:
+        tag += "_st"
     _write_report(args, tag, {"topology": args.topology, "hbm_gb": args.hbm_gb,
                               "geometry": {"grid": n_grid, "mesh": n_mesh},
                               "rows": results})
@@ -456,6 +471,10 @@ def main() -> None:
                         ">100GB host RAM; run one program per invocation at "
                         "production widths)")
     p.add_argument("--hbm-gb", type=float, default=95.0)
+    p.add_argument("--shard-tables", type=int, default=0,
+                   help="shard hoisted per-shard-stacked tables (leading dim "
+                        "== model-axis size) over the model axis instead of "
+                        "replicating them")
     p.add_argument("--layer-scan", type=int, default=0,
                    help="nn.scan-stacked processor layers (program size "
                         "independent of depth; scan-averse on the tunneled "

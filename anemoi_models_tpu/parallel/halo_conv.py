@@ -285,26 +285,31 @@ def halo_graph_transformer_conv(
             halo = jnp.take(pool, hs_blk[0], axis=1) * hm_blk[0][None, :, None].astype(t_blk.dtype)
             return jnp.concatenate([t_blk, halo], axis=1)
 
-        k_ext = ext(k_blk).reshape(b, -1, h, d)
-        v_ext = ext(v_blk).reshape(b, -1, h, d)
-        q_loc = q_blk.reshape(b, nps, h, d)
+        # every per-edge tensor stays in the FLAT (..., H*D) layout: a bf16
+        # minor dim of D (32 at C=512/H=16) is lane-padded 4x in HBM — the
+        # O1280 buffer assignment attributed ~2.5 GiB/chip of pure padding
+        # to these (E, H, D) buffers. H*D is a lane multiple, and the
+        # (H, D) views below fuse into their reductions unmaterialized.
+        k_ext, v_ext = ext(k_blk), ext(v_blk)  # (B, N_ext, H*D)
 
         edges = le_blk[0]  # (E_pad, 2) [src_ext, dst_local]
         emask = em_blk[0]  # (E_pad,)
-        e = jnp.einsum("ea,ahd->ehd", a_blk[0], w)  # shard-local projection
+        e = a_blk[0] @ w.reshape(-1, h * d)  # shard-local projection, flat
 
-        q_i = jnp.take(q_loc, edges[:, 1], axis=1)
+        q_i = jnp.take(q_blk, edges[:, 1], axis=1)
         k_j = jnp.take(k_ext, edges[:, 0], axis=1) + e[None]
         v_j = jnp.take(v_ext, edges[:, 0], axis=1) + e[None]
         logits = jnp.einsum(
-            "behd,behd->beh", q_i, k_j, preferred_element_type=jnp.float32
+            "behd,behd->beh",
+            q_i.reshape(b, -1, h, d),
+            k_j.reshape(b, -1, h, d),
+            preferred_element_type=jnp.float32,
         ) * scale
         logits = jnp.where(emask[None, :, None], logits, -1e30)
         alpha = _segment_softmax_local(logits, edges[:, 1], nps)
-        msg = (v_j.astype(jnp.float32) * alpha[..., None]) * emask[None, :, None, None]
-        out = segment_sum(
-            msg.reshape(b, -1, h * d), edges[:, 1], nps, indices_are_sorted=False
-        )
+        msg = v_j.astype(jnp.float32).reshape(b, -1, h, d) * alpha[..., None]
+        msg = msg.reshape(b, -1, h * d) * emask[None, :, None]
+        out = segment_sum(msg, edges[:, 1], nps, indices_are_sorted=False)
         return out.astype(q_blk.dtype)
 
     run = jax.shard_map(

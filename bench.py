@@ -77,8 +77,13 @@ def _measured_copy_bw(x_dtype="bfloat16", gib=0.5, iters=8):
     def chain(k):
         @jax.jit
         def run(x):
+            # barrier between links: without it XLA fuses the whole chain
+            # into ONE read+write loop fusion (k-invariant traffic) and the
+            # subtraction measures pure noise — observed as a "bandwidth"
+            # 10^7x over spec. With the barrier each link streams HBM once.
+            one = jnp.ones((), x.dtype)
             for _ in range(k):
-                x = x + jnp.bfloat16(1)
+                x = jax.lax.optimization_barrier(x + one)
             return x
 
         float(run(x)[0])

@@ -579,3 +579,35 @@ def test_train_run_auto_remat_rollout_ensemble(tmp_path):
         ema_decay=0.99, log=msgs.append,
     )
     assert np.isfinite(out["losses"]).all()
+
+
+def test_train_run_overlap_matches_serial(source):
+    """overlap_calls defers loss fetches to overlap loader staging with
+    device execution (PERF round 5: +87% pipeline throughput on-chip); the
+    dispatched programs and their order are identical, so losses must match
+    the serial mode exactly — including across an eval boundary, where the
+    overlap path must flush pending fetches before using the state."""
+
+    def run(overlap):
+        return train_run(
+            source,
+            forcing=("var_0",),
+            steps=8,
+            steps_per_call=2,
+            overlap_calls=overlap,
+            eval_every=4,
+            eval_rollout=2,
+            peak_lr=5e-3,
+            seed=0,
+            log=lambda s: None,
+            **TINY,
+        )
+
+    serial = run(False)
+    overlapped = run(True)
+    np.testing.assert_array_equal(serial["losses"], overlapped["losses"])
+    assert len(serial["eval"]) == len(overlapped["eval"]) == 2
+    for a, b in zip(serial["eval"], overlapped["eval"]):
+        assert a["step"] == b["step"]
+        np.testing.assert_allclose(a["rmse_mean"], b["rmse_mean"], rtol=0, atol=0)
+    assert serial["steps_done"] == overlapped["steps_done"] == 8

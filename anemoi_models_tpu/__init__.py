@@ -8,4 +8,4 @@ instead of torch_geometric scatter / flash-attn, and ``jax.checkpoint``
 rematerialization instead of torch activation checkpointing.
 """
 
-__version__ = "0.5.0"
+__version__ = "0.5.1"

@@ -31,6 +31,7 @@ class Info:
             "ANEMOI_INFERENCE_NUM_CHUNKS", "ANEMOI_PLAN_PASSES",
             "ANEMOI_PLAN_SLAB_WIDTH", "ANEMOI_PLAN_BLOCK_NODES",
             "ANEMOI_PLAN_SELECT", "ANEMOI_FLASH_BLOCK",
+            "ANEMOI_ADJOINT_CHUNK_BYTES",
         )
         active = {k: os.environ[k] for k in knobs if k in os.environ}
         if active:
